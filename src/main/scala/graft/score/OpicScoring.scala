@@ -1,0 +1,69 @@
+package graft.score
+
+import graft.crawl.CrawlConfig
+import graft.model.WebPage
+import graft.url.UrlUtil
+
+/** Edge message carrying cash from a page to one outlink target
+  * (reference: src/main/java/org/apache/nutch/scoring/ScoreDatum.java).
+  * `url` is the TARGET while shuffling; the mapper swaps it to the SOURCE
+  * before emitting (DbUpdateMapper.java:90-95), which is what the reducer
+  * stores as the inlink. We model both explicitly.
+  */
+case class ScoreDatum(
+    score: Float,
+    url: String, // source url (inlink) once emitted
+    anchor: String,
+    fetchTime: Long,
+    distance: Int)
+
+/** Online Page Importance Computation scoring, per the reference's
+  * scoring-opic plugin (plugin/scoring-opic/.../OPICScoringFilter.java).
+  * Each page carries a `score` and a `cash` balance; fetching a page
+  * distributes its cash equally over its outlinks (internal/external
+  * factors), resetting cash to 0; updatedb adds the sum of incoming cash to
+  * both score and cash.
+  */
+case class OpicScoring(conf: CrawlConfig) extends Serializable {
+
+  /** Inject: cash := injected score (OPICScoringFilter.injectedScore:80-85). */
+  def injectedScore(page: WebPage): WebPage = page.copy(cash = page.score)
+
+  /** New page discovered by updatedb: score = cash = 1.0
+    * (OPICScoringFilter.initialScore:88-97). */
+  def initialScore(page: WebPage): WebPage = page.copy(score = 1.0f, cash = 1.0f)
+
+  /** Generate priority = the page score (OPICScoringFilter.generatorSortValue). */
+  def generatorSortValue(page: WebPage, initSort: Float): Float = page.score
+
+  /** Per-outlink cash distribution: cash/outdeg scaled by the internal or
+    * external link factor; the page's cash resets to zero
+    * (OPICScoringFilter.distributeScoreToOutlinks:124-158). Returns the
+    * scored outlink data and the updated page.
+    */
+  def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+      scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage) = {
+    val cash = page.cash
+    if (cash == 0f) return (scoreData, page)
+    val scoreUnit = cash / allCount
+    val internalScore = scoreUnit * conf.internalScoreFactor
+    val externalScore = scoreUnit * conf.externalScoreFactor
+    val fromHost = UrlUtil.tryParse(fromUrl).map(_.getHost).orNull
+    val scored = scoreData.map { sd =>
+      val toHost = UrlUtil.tryParse(sd.url).map(_.getHost).orNull
+      val s =
+        if (toHost != null && fromHost != null && toHost.equalsIgnoreCase(fromHost)) internalScore
+        else externalScore
+      sd.copy(score = s)
+    }
+    (scored, page.copy(cash = 0.0f))
+  }
+
+  /** updatedb merge: score += sum of inlinked cash; cash += score
+    * (OPICScoringFilter.updateScore:105-122). */
+  def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = {
+    var score = page.score
+    inlinked.foreach(sd => score += sd.score)
+    page.copy(score = score, cash = page.cash + score)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.crawl.CrawlConfig
+import graft.model.{CrawlStatus, ModifiedState, WebPage}
+import graft.schedule.{AdaptiveFetchSchedule, DefaultFetchSchedule, FetchSchedule}
+
+/** Schedule math per the reference's Default/Adaptive/AbstractFetchSchedule
+  * (see SURVEY.md E7; shapes from TestAdaptiveFetchSchedule).
+  */
+class ScheduleSpec extends AnyFunSuite {
+  private val conf = CrawlConfig(fetchIntervalDefault = 100, fetchIntervalMax = 1000)
+
+  test("default schedule: fetchTime advances by interval, retries reset") {
+    val s = DefaultFetchSchedule(conf)
+    val p = WebPage(url = "u", fetchInterval = 100, retriesSinceFetch = 2)
+    val after = s.setFetchSchedule(p, 0L, 0L, fetchTime = 10000L, modifiedTime = 5000L, ModifiedState.UNKNOWN)
+    assert(after.fetchTime == 10000L + 100 * 1000L)
+    assert(after.retriesSinceFetch == 0)
+    assert(after.modifiedTime == 5000L)
+  }
+
+  test("gone schedule: interval x1.5 capped at 0.9*max") {
+    val s = DefaultFetchSchedule(conf)
+    val p = WebPage(url = "u", fetchInterval = 100)
+    val after = s.setPageGoneSchedule(p, 0L, 0L, fetchTime = 0L)
+    assert(after.fetchInterval == 150)
+    val big = WebPage(url = "u", fetchInterval = 900)
+    val after2 = s.setPageGoneSchedule(big, 0L, 0L, 0L)
+    assert(after2.fetchInterval == 900) // 900*1.5=1350 >= 1000 -> 0.9*1000
+  }
+
+  test("retry schedule: +1 day, retry counter bumps") {
+    val s = DefaultFetchSchedule(conf)
+    val p = WebPage(url = "u", retriesSinceFetch = 1)
+    val after = s.setPageRetrySchedule(p, 0L, 0L, fetchTime = 1000L)
+    assert(after.fetchTime == 1000L + 86400L * 1000L)
+    assert(after.retriesSinceFetch == 2)
+  }
+
+  test("shouldFetch: due now, not due in future, far-future clamped") {
+    val s = DefaultFetchSchedule(conf)
+    val due = WebPage(url = "u", fetchTime = 500L)
+    assert(s.shouldFetch(due, 1000L)._1)
+    val notDue = WebPage(url = "u", fetchTime = 2000L)
+    assert(!s.shouldFetch(notDue, 1000L)._1)
+    // fetchTime more than maxInterval in the future -> clamp to curTime, fetch
+    val far = WebPage(url = "u", fetchTime = 1000L + 1001 * 1000L, fetchInterval = 5000)
+    val (ok, adjusted) = s.shouldFetch(far, 1000L)
+    assert(ok)
+    assert(adjusted.fetchTime == 1000L)
+    assert(adjusted.fetchInterval == 900)
+  }
+
+  test("adaptive schedule: interval shrinks on modified, grows on notmodified, bounded") {
+    val aconf = conf.copy(adaptiveSyncDelta = false, useAdaptiveSchedule = true)
+    val s = AdaptiveFetchSchedule(aconf)
+    val p = WebPage(url = "u", fetchInterval = 1000)
+    val mod = s.setFetchSchedule(p, 0L, 0L, 100000L, 50000L, ModifiedState.MODIFIED)
+    assert(mod.fetchInterval == 800) // 1000 * (1-0.2)
+    val not = s.setFetchSchedule(p, 0L, 0L, 100000L, 50000L, ModifiedState.NOTMODIFIED)
+    assert(not.fetchInterval == 1200) // 1000 * (1+0.2)
+    val tiny = WebPage(url = "u", fetchInterval = 60)
+    val clamped = s.setFetchSchedule(tiny, 0L, 0L, 100000L, 50000L, ModifiedState.MODIFIED)
+    assert(clamped.fetchInterval == 60) // min interval
+  }
+
+  test("forceRefetch resets status/retries/modifiedTime") {
+    val s = FetchSchedule(conf)
+    val p = WebPage(url = "u", status = CrawlStatus.FETCHED, retriesSinceFetch = 3,
+      modifiedTime = 42L, fetchInterval = 5000)
+    val after = s.forceRefetch(p, 777L, asap = true)
+    assert(after.status == CrawlStatus.UNFETCHED)
+    assert(after.retriesSinceFetch == 0)
+    assert(after.modifiedTime == 0L)
+    assert(after.fetchTime == 777L)
+    assert(after.fetchInterval == 900)
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.url._
+
+/** Golden cases ported from the reference's TestBasicURLNormalizer,
+  * TestTableUtil and TestURLPartitioner (see FIXTURES.md §7, §8).
+  */
+class UrlCoreSpec extends AnyFunSuite {
+
+  private def n(weird: String, normal: String): Unit =
+    assert(BasicUrlNormalizer.normalize(weird) == normal, s"normalize($weird)")
+
+  test("basic normalizer golden cases (TestBasicURLNormalizer)") {
+    n(" http://foo.com/ ", "http://foo.com/")
+    n("HTTP://foo.com/", "http://foo.com/")
+    n("http://Foo.Com/index.html", "http://foo.com/index.html")
+    n("http://foo.com:80/index.html", "http://foo.com/index.html")
+    n("http://foo.com:81/", "http://foo.com:81/")
+    n("http://foo.com", "http://foo.com/")
+    n("http://foo.com/foo.html#ref", "http://foo.com/foo.html")
+    n("http://foo.com/aa/./foo.html", "http://foo.com/aa/foo.html")
+    n("http://foo.com/aa/../", "http://foo.com/")
+    n("http://foo.com/aa/bb/../", "http://foo.com/aa/")
+    n("http://foo.com/aa/..", "http://foo.com/aa/..")
+    n("http://foo.com/aa/bb/cc/../../foo.html", "http://foo.com/aa/foo.html")
+    n("http://foo.com/aa/bb/../cc/dd/../ee/foo.html", "http://foo.com/aa/cc/ee/foo.html")
+    n("http://foo.com/../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/../../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/../aa/../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/aa/../../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/aa/../bb/../foo.html/../../", "http://foo.com/")
+    n("http://foo.com/../aa/foo.html", "http://foo.com/aa/foo.html")
+    n("http://foo.com/../aa/../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/a..a/foo.html", "http://foo.com/a..a/foo.html")
+    n("http://foo.com/a..a/../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com/foo.foo/../foo.html", "http://foo.com/foo.html")
+    n("http://foo.com//aa/bb/foo.html", "http://foo.com/aa/bb/foo.html")
+    n("http://foo.com/aa//bb/foo.html", "http://foo.com/aa/bb/foo.html")
+    n("http://foo.com/aa/bb//foo.html", "http://foo.com/aa/bb/foo.html")
+    n("http://foo.com//aa//bb//foo.html", "http://foo.com/aa/bb/foo.html")
+    n("http://foo.com////aa////bb////foo.html", "http://foo.com/aa/bb/foo.html")
+  }
+
+  test("basic normalizer is idempotent") {
+    val samples = Seq(
+      "http://Foo.Com:80//a/./b/../c.html#x",
+      "http://host-1.example/p/0.html",
+      "https://a.b.co.uk:8080/x//y/../z")
+    samples.foreach { u =>
+      val once = BasicUrlNormalizer.normalize(u)
+      assert(BasicUrlNormalizer.normalize(once) == once)
+    }
+  }
+
+  test("regex normalizer default rules (regex-normalize.xml.template)") {
+    assert(RegexUrlNormalizer.normalize("http://foo.com/p?PHPSESSID=abc&x=1") ==
+      "http://foo.com/p?x=1")
+    assert(RegexUrlNormalizer.normalize("http://foo.com/p;jsessionid=1E6FEC0D14D044541DD84D2D013D29ED?x=1") ==
+      "http://foo.com/p?x=1")
+    assert(RegexUrlNormalizer.normalize("http://foo.com/page#anchor") == "http://foo.com/page")
+    assert(RegexUrlNormalizer.normalize("http://foo.com/p?&a=1") == "http://foo.com/p?a=1")
+    assert(RegexUrlNormalizer.normalize("http://foo.com/p?a=1&&&b=2") == "http://foo.com/p?a=1&b=2")
+    assert(RegexUrlNormalizer.normalize("http://foo.com/p?") == "http://foo.com/p")
+    assert(RegexUrlNormalizer.normalize("http://foo.com//a//b") == "http://foo.com/a/b")
+  }
+
+  test("reverseUrl / unreverseUrl golden cases (TestTableUtil)") {
+    val cases = Seq(
+      "http://foo.com/" -> "com.foo:http/",
+      "http://foo.com:8900/" -> "com.foo:http:8900/",
+      "ftp://bar.baz.com/" -> "com.baz.bar:ftp/",
+      "http://bar.baz.com:8983/to/index.html?a=b&c=d" -> "com.baz.bar:http:8983/to/index.html?a=b&c=d",
+      "http://foo.com?a=/a/b&c=0" -> "com.foo:http/?a=/a/b&c=0",
+      "http://foo.com" -> "com.foo:http",
+      "file:///var/www/index.html" -> ":file/var/www/index.html")
+    cases.foreach { case (url, rev) =>
+      assert(UrlUtil.reverseUrl(url) == rev, s"reverse($url)")
+    }
+    val uncases = Seq(
+      "com.foo:http/" -> "http://foo.com/",
+      "com.foo:http:8900/" -> "http://foo.com:8900/",
+      "com.baz.bar:ftp/" -> "ftp://bar.baz.com/",
+      "com.baz.bar:http:8983/to/index.html?a=b&c=d" -> "http://bar.baz.com:8983/to/index.html?a=b&c=d",
+      "com.foo:http/?a=/a/b&c=0" -> "http://foo.com/?a=/a/b&c=0",
+      "com.foo:http" -> "http://foo.com",
+      ":file/var/www/index.html" -> "file:///var/www/index.html")
+    uncases.foreach { case (rev, url) =>
+      assert(UrlUtil.unreverseUrl(rev) == url, s"unreverse($rev)")
+    }
+  }
+
+  test("domain extraction (TestURLUtil shapes)") {
+    assert(UrlUtil.getDomainName("http://lucene.apache.org/") == "apache.org")
+    assert(UrlUtil.getDomainName("http://www.bbc.co.uk/news") == "bbc.co.uk")
+    assert(UrlUtil.getDomainName("http://host-3.example/x") == "host-3.example")
+    assert(UrlUtil.getDomainName("http://192.168.1.1/x") == "192.168.1.1")
+  }
+
+  test("url partitioner: deterministic, seed-sensitive, mode-sensitive (TestURLPartitioner)") {
+    val url = "http://www.example.org/part/test.html"
+    val p1 = UrlPartitioner.getPartition(url, 32, seed = 1)
+    val p1b = UrlPartitioner.getPartition(url, 32, seed = 1)
+    assert(p1 == p1b)
+    // same host, different page -> same partition (host mode)
+    val p2 = UrlPartitioner.getPartition("http://www.example.org/other.html", 32, seed = 1)
+    assert(p1 == p2)
+    // a different seed re-salts the assignment for at least some hosts
+    val moved = (0 until 50).count { i =>
+      val u = s"http://host-$i.example/a.html"
+      UrlPartitioner.getPartition(u, 32, seed = 1) !=
+        UrlPartitioner.getPartition(u, 32, seed = 999)
+    }
+    assert(moved > 0, "changing the seed should move some hosts")
+    // numPartitions == 1 short-circuits
+    assert(UrlPartitioner.getPartition(url, 1, seed = 7) == 0)
+    // domain mode groups sub-hosts together
+    val d1 = UrlPartitioner.getPartition("http://a.example.org/x", 32, seed = 1, mode = UrlPartitioner.ModeDomain)
+    val d2 = UrlPartitioner.getPartition("http://b.example.org/y", 32, seed = 1, mode = UrlPartitioner.ModeDomain)
+    assert(d1 == d2)
+  }
+
+  test("regex url filter default rules (regex-urlfilter.txt.template)") {
+    val f = RegexUrlFilter.default
+    assert(f.filter("http://example.com/index.html") != null)
+    assert(f.filter("ftp://example.com/file") == null)
+    assert(f.filter("mailto:someone@example.com") == null)
+    assert(f.filter("http://example.com/logo.PNG") == null)
+    assert(f.filter("http://example.com/q?x=1") == null)
+    assert(f.filter("http://example.com/a/b/a/b/a/b/") == null) // 3x repeated segment
+    assert(f.filter("http://example.com/a/b/c") != null)
+  }
+
+  test("chooseRepr (URLUtil.chooseRepr)") {
+    // different domains: keep destination
+    assert(UrlUtil.chooseRepr("http://a.com/x", "http://b.com/y", temp = false) == "http://b.com/y")
+    // permanent + source root: keep source
+    assert(UrlUtil.chooseRepr("http://a.com/", "http://a.com/xyz/index.html", temp = false) == "http://a.com/")
+    // permanent + source not root: keep destination
+    assert(UrlUtil.chooseRepr("http://a.com/xyz/index.html", "http://a.com/", temp = false) == "http://a.com/")
+    // temp + both non-root same host: keep shortest path
+    assert(UrlUtil.chooseRepr("http://a.com/ab.html", "http://a.com/abcd.html", temp = true) == "http://a.com/ab.html")
+  }
+
+  test("uuid3 key is deterministic and versionKey differs per round") {
+    val u = "http://host-1.example/p.html"
+    assert(UrlUtil.uuid3(u) == UrlUtil.uuid3(u))
+    assert(UrlUtil.uuid3(u) != UrlUtil.versionKey(u, 1))
+    assert(UrlUtil.versionKey(u, 1) != UrlUtil.versionKey(u, 2))
+  }
+}
