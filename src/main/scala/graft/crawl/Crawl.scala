@@ -1,0 +1,141 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.jobs._
+import graft.model.{Marks, WebPage}
+import graft.seen.BloomSeen
+import graft.site.{FetchEnv, OutlinkSource}
+import graft.table.SnapshotTable
+
+case class RoundStats(
+    round: Int,
+    generated: Long,
+    fetched: Long,
+    gone: Long,
+    redirected: Long,
+    retried: Long,
+    updated: Long,
+    newPages: Long)
+
+/** The crawl-round driver: inject once, then per round
+  * generate -> fetch(+inline parse) -> updatedb, each stage committing a
+  * snapshot to the frontier table — the dnutch/bin-crawl loop
+  * (src/main/bin/dnutch:70-96, NutchSite.crawl:158-180) with the MR jobs
+  * replaced by Catalyst-planned Dataset transformations (SURVEY.md §3.1).
+  *
+  * Determinism: batch ids are derived from the round number (the reference
+  * uses a Random int, GeneratorJob.java:253-255), and each round's logical
+  * "now" advances by a fixed step from a fixed base — every run over the
+  * same seeds produces byte-identical frontier state.
+  *
+  * Resume: stages are idempotent reads of the previous snapshot; after a
+  * crash, `run` consults the table HEAD's (round, stage) and continues with
+  * the first missing stage (snapshot-based checkpoint resume, north_rule).
+  */
+final class Crawl(
+    spark: SparkSession,
+    tablePath: String,
+    images: DataFrame,
+    conf: CrawlConfig,
+    source: OutlinkSource,
+    env: FetchEnv = FetchEnv(),
+    baseTime: Long = 1700000000000L,
+    roundStepMs: Long = 86400L * 1000L) {
+
+  import spark.implicits._
+
+  val table = new SnapshotTable(tablePath)
+
+  def batchIdOf(round: Int): String = s"batch-$round"
+  def curTimeOf(round: Int): Long = baseTime + round.toLong * roundStepMs
+
+  private val stageOrder = Map("inject" -> 0, "generate" -> 1, "fetch" -> 2, "update" -> 3,
+    "compact" -> 3)
+
+  private def view: Dataset[WebPage] =
+    table.currentView(spark).drop("snapshot_id").as[WebPage]
+
+  def inject(seeds: Seq[String]): Long = {
+    val rows = InjectorJob.inject(spark, seeds.toDS(), conf, baseTime)
+    table.append(rows.toDF(), 0, "inject")
+  }
+
+  def generate(round: Int): Long = {
+    val out = GeneratorJob.generate(spark, view, conf, curTimeOf(round), batchIdOf(round), round)
+    table.append(out.toDF(), round, "generate")
+  }
+
+  def fetchAndParse(round: Int): Long = {
+    val batchId = batchIdOf(round)
+    val generated = view.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+    val fetched = FetcherJob.fetch(spark, generated, images, env, conf, batchId,
+      curTimeOf(round), round)
+    val parsed = ParserJob.parse(spark, fetched, conf, source, batchId)
+    table.append(parsed.toDF(), round, "fetch")
+  }
+
+  def update(round: Int): Long = {
+    val batchId = batchIdOf(round)
+    val v = view.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batch = v.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+      var updated = DbUpdateJob.update(spark, batch, conf, curTimeOf(round), round)
+      if (conf.filterSeenNewPages) {
+        // scale path: partitioned bloom over the store's keys (treeAggregate
+        // merge), exact anti-join on the bloom-positive survivors
+        val keys = v.map(_.key)
+        val expected = math.max(1000L, keys.rdd.countApprox(2000L).getFinalValue().mean.toLong)
+        val seen = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected, conf.seenBloomFpp)
+        updated = DbUpdateJob.suppressSeenNewPages(spark, updated, seen, keys)
+      }
+      table.append(updated.toDF(), round, "update")
+    } finally v.unpersist()
+  }
+
+  /** Run the crawl for `depth` rounds, resuming from whatever the table has
+    * already completed. Returns per-round stats (cheap counts off the
+    * committed snapshots) when `collectStats`. */
+  def run(depth: Int, seeds: Seq[String], collectStats: Boolean = true,
+      compactEvery: Int = 0): Seq[RoundStats] = {
+    val done: Option[(Int, String)] = if (table.exists) table.lastCompleted else None
+    def completed(round: Int, stage: String): Boolean = done.exists { case (r, s) =>
+      r > round || (r == round && stageOrder(s) >= stageOrder(stage))
+    }
+    if (!completed(0, "inject")) inject(seeds)
+    (1 to depth).map { round =>
+      if (!completed(round, "generate")) generate(round)
+      if (!completed(round, "fetch")) fetchAndParse(round)
+      if (!completed(round, "update")) update(round)
+      if (compactEvery > 0 && round % compactEvery == 0 &&
+        !done.exists { case (r, _) => r > round }) table.compact(spark, round)
+      if (collectStats) statsOf(round) else RoundStats(round, 0, 0, 0, 0, 0, 0, 0)
+    }
+  }
+
+  def statsOf(round: Int): RoundStats = {
+    import graft.model.CrawlStatus
+    val batchId = batchIdOf(round)
+    val rows = view.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batch = rows.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+      val byStatus = batch.groupByKey(_.status).count().collect().toMap
+      val generated = byStatus.values.sum
+      val updatedRows = rows.filter(p => p.markers.get(Marks.UPDATEDB).contains(batchId))
+      val newPages = rows.filter(p => p.round == round &&
+        !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT))
+      RoundStats(round,
+        generated = generated,
+        fetched = byStatus.getOrElse(CrawlStatus.FETCHED, 0L) +
+          byStatus.getOrElse(CrawlStatus.NOTMODIFIED, 0L),
+        gone = byStatus.getOrElse(CrawlStatus.GONE, 0L),
+        redirected = byStatus.getOrElse(CrawlStatus.REDIR_TEMP, 0L) +
+          byStatus.getOrElse(CrawlStatus.REDIR_PERM, 0L),
+        retried = byStatus.getOrElse(CrawlStatus.RETRY, 0L) +
+          byStatus.getOrElse(CrawlStatus.UNFETCHED, 0L),
+        updated = updatedRows.count(),
+        newPages = newPages.count())
+    } finally rows.unpersist()
+  }
+}

@@ -1,0 +1,235 @@
+package graft.jobs
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.crawl.CrawlConfig
+import graft.model._
+import graft.schedule.FetchSchedule
+import graft.score.{OpicScoring, ScoreDatum}
+import graft.seen.BloomSeen
+import graft.url.{Signatures, UrlUtil}
+
+/** The updatedb stage: merge fetch/parse results back into the frontier and
+  * create rows for newly discovered URLs.
+  *
+  * Reference shape (SURVEY.md C5-C7, D2-D3): the mapper emits, per batch
+  * row, the page itself (shuffle score = Float.MAX so it sorts first) plus
+  * one ScoreDatum per outlink carrying OPIC cash; the shuffle partitions by
+  * url only and sorts (url, score desc) with a grouping comparator on url
+  * (UrlWithScore.java:125-195); the reducer picks the latest page version,
+  * applies the status machine + fetch schedule, rebuilds inlinks (stops
+  * reading at the 10k cap — keeping the top-scored inlinks thanks to the
+  * sort), recomputes min-distance+1, adds inlinked cash to the score, and
+  * creates new UNFETCHED pages for unseen targets
+  * (DbUpdateMapper.java:51-98, DbUpdateReducer.java:57-228).
+  *
+  * Spark mapping: `repartitionAndSortWithinPartitions` on a composite key
+  * (url, -score, src) — the exact partition-by-url + secondary-sort contract
+  * (external sort, no per-group buffering) — followed by a streaming
+  * consecutive-url grouper. Cash distribution happens map-side before the
+  * single shuffle. New-page creation writes key = uuid3(url), which the
+  * snapshot table's latest-key-wins view resolves exactly like the
+  * reference store's put().
+  */
+object DbUpdateJob {
+
+  /** Tagged union shuffled to the reducer (reference: NutchWritable). */
+  case class UpdateMsg(
+      url: String,
+      isPage: Boolean,
+      page: WebPage = null,
+      score: Float = 0f,
+      srcUrl: String = null,
+      anchor: String = null,
+      fetchTime: Long = 0L,
+      distance: Int = Int.MaxValue)
+
+  /** Shuffle key: partition on url; sort (url asc, score desc, src asc).
+    * Page messages carry Float.MaxValue so they group first. */
+  case class UpdKey(url: String, score: Float, src: String)
+
+  implicit val updKeyOrdering: Ordering[UpdKey] =
+    Ordering.by((k: UpdKey) => (k.url, -k.score, k.src))
+
+  private final class UrlOnlyPartitioner(n: Int) extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int =
+      (key.asInstanceOf[UpdKey].url.hashCode & Int.MaxValue) % n
+  }
+
+  /** Map side: page msg + scored outlink msgs (DbUpdateMapper.map). Pure,
+    * shared with refsim. */
+  def mapPage(page: WebPage, opic: OpicScoring): Seq[UpdateMsg] = {
+    if (!page.markers.contains(Marks.GENERATE)) return Seq.empty
+    val depth = page.markers.get(Marks.DISTANCE).map(_.toInt).getOrElse(Int.MaxValue)
+    val data = page.outlinks.toSeq.sortBy(_._1).map { case (toUrl, anchor) =>
+      ScoreDatum(0f, toUrl, anchor, page.fetchTime, depth)
+    }
+    val (scored, pageAfter) =
+      opic.distributeScoreToOutlinks(page.url, page, data, page.outlinks.size)
+    UpdateMsg(pageAfter.url, isPage = true, page = pageAfter) +:
+      scored.map(sd => UpdateMsg(sd.url, isPage = false, score = sd.score,
+        srcUrl = pageAfter.url, anchor = sd.anchor, fetchTime = sd.fetchTime,
+        distance = sd.distance))
+  }
+
+  /** Reduce side for one url group, fed in (score desc) order
+    * (DbUpdateReducer.reduce). Pure, shared with refsim. Returns None when
+    * additions are disallowed and the url is new. May leave the iterator
+    * partially consumed (the reference breaks at the inlink cap). */
+  def reduceUrl(url: String, msgs: Iterator[UpdateMsg], conf: CrawlConfig,
+      curTime: Long, round: Int): Option[WebPage] = {
+    val schedule = FetchSchedule(conf)
+    val opic = OpicScoring(conf)
+
+    var page: WebPage = null
+    val inlinked = scala.collection.mutable.LinkedHashMap.empty[String, ScoreDatum]
+    var capped = false
+    while (msgs.hasNext && !capped) {
+      val m = msgs.next()
+      if (m.isPage) {
+        if (page == null || page.fetchTime < m.page.fetchTime) page = m.page
+      } else {
+        val keep = inlinked.get(m.srcUrl).forall(_.fetchTime < m.fetchTime)
+        if (keep)
+          inlinked.update(m.srcUrl,
+            ScoreDatum(m.score, m.srcUrl, m.anchor, m.fetchTime, m.distance))
+        if (inlinked.size >= conf.maxInlinks) capped = true
+      }
+    }
+    // insertion order == score-desc order, thanks to the secondary sort
+    val inlinks = inlinked.values.toSeq
+
+    if (page == null) {
+      if (!conf.additionsAllowed) return None
+      var p = WebPage(url = url, key = UrlUtil.uuid3(url), status = CrawlStatus.UNFETCHED)
+      p = schedule.initializeSchedule(p, curTime)
+      p = opic.initialScore(p)
+      page = p
+    } else {
+      page.status match {
+        case CrawlStatus.FETCHED | CrawlStatus.REDIR_TEMP | CrawlStatus.REDIR_PERM |
+            CrawlStatus.NOTMODIFIED =>
+          var modified = ModifiedState.UNKNOWN
+          if (page.status == CrawlStatus.NOTMODIFIED) modified = ModifiedState.NOTMODIFIED
+          if (page.prevSignature != null && page.signature != null) {
+            modified =
+              if (Signatures.compare(page.prevSignature, page.signature) != 0)
+                ModifiedState.MODIFIED
+              else ModifiedState.NOTMODIFIED
+          }
+          val fetchTime = page.fetchTime
+          val prevFetchTime = page.prevFetchTime
+          var modifiedTime = page.modifiedTime
+          var prevModifiedTime = page.prevModifiedTime
+          page.headers.get("Last-Modified").foreach { lm =>
+            try {
+              modifiedTime = java.time.ZonedDateTime
+                .parse(lm, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+                .toInstant.toEpochMilli
+              prevModifiedTime = page.modifiedTime
+            } catch { case _: Exception => }
+          }
+          page = schedule.setFetchSchedule(page, prevFetchTime, prevModifiedTime,
+            fetchTime, modifiedTime, modified)
+          if (conf.fetchIntervalMax < page.fetchInterval)
+            page = schedule.forceRefetch(page, curTime, asap = false)
+        case CrawlStatus.RETRY =>
+          page = schedule.setPageRetrySchedule(page, 0L, page.prevModifiedTime, page.fetchTime)
+          page =
+            if (page.retriesSinceFetch < conf.retryMax)
+              page.copy(status = CrawlStatus.UNFETCHED)
+            else page.copy(status = CrawlStatus.GONE)
+        case CrawlStatus.GONE =>
+          page = schedule.setPageGoneSchedule(page, 0L, page.prevModifiedTime, page.fetchTime)
+        case _ =>
+      }
+    }
+
+    // rebuild inlinks from this round's messages
+    page = page.copy(inlinks = inlinks.map(sd => sd.url -> sd.anchor).toMap)
+
+    // distance = smallest inlink distance + 1, if it improves
+    val smallest = inlinks.iterator.map(_.distance).minOption.getOrElse(Int.MaxValue)
+    if (smallest != Int.MaxValue) {
+      val oldDist = page.markers.get(Marks.DISTANCE).map(_.toInt).getOrElse(Int.MaxValue)
+      val newDist = smallest + 1
+      if (newDist < oldDist)
+        page = Marks.put(page, Marks.DISTANCE, newDist.toString)
+    }
+
+    page = opic.updateScore(page, inlinks)
+
+    if (page.metadata.contains(FetcherJobKeys.RedirectDiscovered))
+      page = page.copy(metadata = page.metadata - FetcherJobKeys.RedirectDiscovered)
+
+    page.markers.get(Marks.PARSE).foreach { parseMark =>
+      page = Marks.put(page, Marks.UPDATEDB, parseMark)
+    }
+    Some(page.copy(round = round))
+  }
+
+  /** Streaming consecutive-url grouper over a (url, score desc)-sorted
+    * partition — the MR grouping-comparator equivalent. */
+  private def reducePartition(it: Iterator[(UpdKey, UpdateMsg)], conf: CrawlConfig,
+      curTime: Long, round: Int): Iterator[WebPage] = {
+    val b = it.buffered
+    new Iterator[Option[WebPage]] {
+      override def hasNext: Boolean = b.hasNext
+      override def next(): Option[WebPage] = {
+        val url = b.head._1.url
+        val group = new Iterator[UpdateMsg] {
+          override def hasNext: Boolean = b.hasNext && b.head._1.url == url
+          override def next(): UpdateMsg = b.next()._2
+        }
+        val res = reduceUrl(url, group, conf, curTime, round)
+        while (group.hasNext) group.next() // drain past the inlink cap
+        res
+      }
+    }.flatten
+  }
+
+  def update(spark: SparkSession, batchRows: Dataset[WebPage], conf: CrawlConfig,
+      curTime: Long, round: Int): Dataset[WebPage] = {
+    import spark.implicits._
+    val opic = OpicScoring(conf)
+    val c = conf
+    val t = curTime
+    val r = round
+    val keyed = batchRows.flatMap(p => mapPage(p, opic)).rdd.map { m =>
+      (UpdKey(m.url, if (m.isPage) Float.MaxValue else m.score,
+        if (m.srcUrl == null) "" else m.srcUrl), m)
+    }
+    val sorted = keyed.repartitionAndSortWithinPartitions(
+      new UrlOnlyPartitioner(conf.numPartitions))
+    spark.createDataset(sorted.mapPartitions(it => reducePartition(it, c, t, r)))
+  }
+
+  /** Scale path for new-page suppression (SURVEY.md C10/D3, north_rule): at
+    * 10^10 frontier scale, "is this outlink new?" must not rescan the store.
+    * The partitioned bloom filter (built via treeAggregate over the store's
+    * keys) prefilters candidates; the few bloom-positives that are genuinely
+    * new are recovered by an exact anti-join, so false positives can never
+    * silently drop URLs.
+    */
+  def suppressSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
+      seen: BloomSeen, existingKeys: Dataset[String]): Dataset[WebPage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val b = spark.sparkContext.broadcast(seen)
+    // rows produced by the new-page branch carry no pipeline marks
+    val isNew = (p: WebPage) =>
+      !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT)
+    val existing = updated.filter(p => !isNew(p))
+    val candidates = updated.filter(isNew)
+    // bloom-negative => definitely new, keep without a join
+    val definitelyNew = candidates.filter(p => !b.value.mightContain(p.key))
+    // bloom-positive => confirm against the store with an exact anti-join
+    val maybeSeen = candidates.filter(p => b.value.mightContain(p.key))
+    val confirmedNew = maybeSeen
+      .join(existingKeys.toDF("__seen_key"), col("key") === col("__seen_key"), "left_anti")
+      .as[WebPage]
+    existing.union(definitelyNew).union(confirmedNew)
+  }
+}

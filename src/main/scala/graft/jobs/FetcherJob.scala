@@ -1,0 +1,162 @@
+package graft.jobs
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.crawl.CrawlConfig
+import graft.images.ImageSynth.ImageRow
+import graft.model._
+import graft.site.FetchEnv
+import graft.url.{UrlPartitioner, UrlUtil}
+
+/** The fetch stage over the synthetic image universe.
+  *
+  * Reference shape (SURVEY.md E1-E7): scan rows with GENERATE_MARK ==
+  * batchId, shuffle by host with a randomized map key to break host runs,
+  * then per-reducer politeness queues issue HTTP fetches; outcomes map to
+  * CrawlStatus (FetcherReducer.java:516-566), redirects record outlinks and
+  * a representative url (handleRedirect:586-616).
+  *
+  * Spark-first mapping: salted repartition on hash(host) ^ round breaks
+  * hot-host pinning; a deterministic per-url pseudo-random sort key replaces
+  * the reference's `random(65536)` map key (determinism, SURVEY.md §7.5
+  * risk 2); politeness runs on a virtual clock inside `mapPartitions`; and
+  * the actual payload "fetch" is a *join* of the (small) fetchlist against
+  * the (huge) images table on image_id = uuid3(url) — Catalyst plans the
+  * join, no driver-side lookups. Robots rules are a broadcast-sized
+  * dimension checked before scheduling, like the reference's in-JVM robots
+  * cache (D1).
+  */
+object FetcherJob {
+
+  private final class IntPartitioner(n: Int) extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int =
+      key.asInstanceOf[(Int, Long, String)]._1
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic replacement for FetcherMapper's random shuffle key. */
+  def arrivalKey(url: String, round: Int): Long = mix64(url.hashCode.toLong ^ (round.toLong << 32))
+
+  /** Fetch decision per scheduled item, before content attach. Pure,
+    * shared with refsim. */
+  def decide(page: WebPage, env: FetchEnv, conf: CrawlConfig): (Int, Int, WebPage) = {
+    // returns (crawlStatus, protocolCode, page-with-redirect-effects)
+    val host = UrlUtil.getHost(page.url).toLowerCase
+    val rules = env.robotsFor(host)
+    if (!rules.isAllowed(page.url))
+      return (CrawlStatus.GONE, ProtocolStatusCodes.ROBOTS_DENIED, page)
+    if (rules.crawlDelayMs > conf.fetcherMaxCrawlDelayMs && conf.fetcherMaxCrawlDelayMs >= 0)
+      return (CrawlStatus.GONE, ProtocolStatusCodes.ROBOTS_DENIED, page)
+    if (env.transientErrors.contains(page.url))
+      return (CrawlStatus.RETRY, ProtocolStatusCodes.EXCEPTION, page)
+    env.redirects.get(page.url) match {
+      case Some((newUrl0, temp)) =>
+        val code = if (temp) CrawlStatus.REDIR_TEMP else CrawlStatus.REDIR_PERM
+        val pcode = if (temp) ProtocolStatusCodes.TEMP_MOVED else ProtocolStatusCodes.MOVED
+        // handleRedirect: normalize+filter newUrl, record outlink + repr url
+        val newUrl = graft.url.UrlNormalizers.normalize(newUrl0, graft.url.UrlNormalizers.ScopeFetcher)
+        if (newUrl == null || newUrl == page.url) (code, pcode, page)
+        else {
+          val repr0 = if (page.reprUrl == null) page.url else page.reprUrl
+          val repr = UrlUtil.chooseRepr(repr0, newUrl, temp)
+          val p = page.copy(
+            outlinks = page.outlinks + (newUrl -> ""),
+            metadata = page.metadata + (FetcherJobKeys.RedirectDiscovered -> "y"),
+            reprUrl = repr)
+          (code, pcode, p)
+        }
+      case None =>
+        (CrawlStatus.FETCHED, ProtocolStatusCodes.SUCCESS, page)
+    }
+  }
+
+  /** A robots-denied fetch finishes "asap": it does not hold the host gate. */
+  private def consumesDelay(statusAndCode: (Int, Int)): Boolean =
+    statusAndCode._2 != ProtocolStatusCodes.ROBOTS_DENIED
+
+  def fetch(spark: SparkSession, generated: Dataset[WebPage], images: DataFrame,
+      env: FetchEnv, conf: CrawlConfig, batchId: String, curTime: Long,
+      round: Int): Dataset[WebPage] = {
+    import spark.implicits._
+    val c = conf
+    val e = env
+    val t = curTime
+    val r = round
+    val n = conf.numPartitions
+
+    val batch = generated.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+
+    // salted host partitioning + deterministic arrival shuffle within partitions
+    val keyed = batch.rdd.map { p =>
+      val pid = UrlPartitioner.getPartition(p.url, n, seed = r, mode = c.partitionMode)
+      ((pid, arrivalKey(p.url, r), p.url), p)
+    }
+    implicit val ord: Ordering[(Int, Long, String)] = Ordering.Tuple3[Int, Long, String]
+    val arrived = keyed.repartitionAndSortWithinPartitions(new IntPartitioner(n))
+
+    val scheduled = arrived.mapPartitionsWithIndex { (idx, it) =>
+      val items = it.map { case (_, p) =>
+        val decision = decide(p, e, c)
+        (PolitenessScheduler.queueIdOf(p.url), (p, decision))
+      }
+      val delayFor: String => Long = { qid =>
+        val host = qid.substring(qid.indexOf("://") + 3)
+        val override_ = e.robotsFor(host).crawlDelayMs
+        if (override_ > 0) override_ else c.fetcherServerDelayMs
+      }
+      PolitenessScheduler
+        .schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
+          item => consumesDelay((item._2._1, item._2._2)))
+        .map { sch =>
+          val (orig, (status, pcode, effected)) = sch.payload
+          val genMark = orig.markers.getOrElse(Marks.GENERATE, batchId)
+          Marks.put(effected, Marks.FETCH, genMark).copy(
+            status = status,
+            prevFetchTime = orig.fetchTime,
+            fetchTime = t + sch.virtualTimeMs,
+            protocolStatus = ProtocolStatus(pcode, Seq.empty, 0L),
+            srcPartition = idx,
+            round = r,
+            // fetch-order lineage for the ordering-parity check
+            metadata = effected.metadata + (FetcherJobKeys.FetchSeq -> sch.seq.toString))
+        }
+    }
+    val scheduledDs = spark.createDataset(scheduled)
+
+    // payload attach: fetchlist (small) joins the image universe (huge) on
+    // image_id; Catalyst picks the strategy (broadcast when images is small)
+    val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p))
+    val im = images.as[ImageRow]
+    withId.joinWith(im, withId("_1") === im("image_id"), "left_outer").map {
+      case ((_, page), img) =>
+        if (page.status != CrawlStatus.FETCHED) page
+        else if (img == null)
+          page.copy(status = CrawlStatus.GONE,
+            protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L))
+        else if (c.storingContent)
+          page.copy(
+            content = img.bytes,
+            contentType = s"image/${img.fmt}",
+            baseUrl = page.url,
+            metadata = page.metadata + ("caption" -> img.caption))
+        else
+          page.copy(contentType = s"image/${img.fmt}", baseUrl = page.url,
+            metadata = page.metadata + ("caption" -> img.caption))
+    }
+  }
+}
+
+object FetcherJobKeys {
+  /** metadata key marking a redirect discovery (FetcherJob.REDIRECT_DISCOVERED). */
+  val RedirectDiscovered = "_rs_"
+  /** metadata key carrying the within-partition fetch sequence number. */
+  val FetchSeq = "_fseq_"
+}

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.url.UrlUtil
+
+/** readdb: table statistics and dumps.
+  *
+  * Reference shape (SURVEY.md C8, A7-A8; WebTableReader.java:64-205,
+  * 303-340): an MR job with an explicit combiner computing row count,
+  * per-status counts, a retry histogram, and min/max/avg score; the dump job
+  * projects rows to text with an optional regex filter.
+  *
+  * Spark mapping: plain declarative aggregates — Catalyst's partial+final
+  * HashAggregate replaces the hand-written combiner for free; the regex
+  * filter is a pushed-down `rlike`.
+  */
+object ReadDbJob {
+
+  /** Overall stats (one row): count + score min/max/avg. */
+  def stats(pages: DataFrame): DataFrame =
+    pages.agg(
+      count(lit(1)).as("n_rows"),
+      min(col("score")).as("min_score"),
+      max(col("score")).as("max_score"),
+      avg(col("score")).as("avg_score"))
+
+  /** Per-status row counts (WebTableReader "status N" counters). */
+  def statusCounts(pages: DataFrame): DataFrame =
+    pages.groupBy(col("status")).agg(count(lit(1)).as("cnt")).orderBy(col("status"))
+
+  /** Retry histogram (WebTableReader "retry N" counters). */
+  def retryHistogram(pages: DataFrame): DataFrame =
+    pages.groupBy(col("retriesSinceFetch").as("retries"))
+      .agg(count(lit(1)).as("cnt")).orderBy(col("retries"))
+
+  /** Dump projection with optional regex subset (processDumpJob). */
+  def dump(pages: DataFrame, urlRegex: Option[String] = None): DataFrame = {
+    val base = urlRegex.fold(pages)(re => pages.where(col("url").rlike(re)))
+    base.select(col("key"), col("url"), col("status"), col("fetchTime"),
+      col("score"), col("title"))
+  }
+
+  /** Point lookup by url (readdb -url; a pushed-down key predicate). */
+  def byUrl(pages: DataFrame, url: String): DataFrame =
+    pages.where(col("key") === UrlUtil.uuid3(url))
+}
+
+/** hostdb: per-host aggregates over the page table
+  * (reference: host/HostDbUpdateJob.java:62-116, HostDbUpdateReducer.java:35-90 —
+  * group pages by reversed host, count unfetched/fetched/gone/redirect and
+  * link degrees). One shuffle, partial aggregation map-side.
+  */
+object HostDbJob {
+  import graft.model.CrawlStatus
+
+  def hostStats(spark: SparkSession, pages: DataFrame): DataFrame = {
+    val hostUdf = udf((url: String) => UrlUtil.reverseHost(UrlUtil.getHost(url)))
+    pages
+      .withColumn("host", hostUdf(col("url")))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(when(col("status") === CrawlStatus.UNFETCHED, 1).otherwise(0)).as("n_unfetched"),
+        sum(when(col("status") === CrawlStatus.FETCHED, 1).otherwise(0)).as("n_fetched"),
+        sum(when(col("status") === CrawlStatus.GONE, 1).otherwise(0)).as("n_gone"),
+        sum(when(col("status").isin(CrawlStatus.REDIR_TEMP, CrawlStatus.REDIR_PERM), 1)
+          .otherwise(0)).as("n_redirect"),
+        sum(size(col("outlinks"))).as("n_outlinks"),
+        sum(size(col("inlinks"))).as("n_inlinks"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("host"))
+  }
+}
