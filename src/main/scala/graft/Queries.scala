@@ -1,17 +1,552 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Driver-checked operator queries over the shared testdata tables, each
-  * with a DuckDB oracle (see SparkEntry). Populated operator-by-operator;
-  * every entry exercises one operator family from SURVEY.md §2 on the
-  * TPC-H-ish tables so the driver's DuckDB compare can verify it.
+  * with a DuckDB oracle. Every entry exercises one operator family from
+  * SURVEY.md §2 (or a training-data op the engine adds on top) in a form
+  * the driver's DuckDB compare can verify: matching column names, rounded
+  * floats, deterministic ORDER BY.
   */
 object Queries {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  /** 60-bit integer hash both engines can compute identically:
+    * Spark conv(substr(md5(x),1,10),16,10); DuckDB ('0x'||substr(md5(x),1,10))::BIGINT. */
+  private def hash40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
 
-  val oracles: Map[String, String] = Map.empty
+  // ---------------------------------------------------------------- scans/aggs
+
+  /** A2/A3/C8: projected scan with pushed-down predicate + grouped aggregate
+    * (the webtable-stats shape; the combiner is Catalyst partial agg). */
+  private def qScanFilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_discount") < 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** C8: per-status counts (readdb -stats shape). */
+  private def qStatusCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt")).orderBy(col("event_type"))
+
+  /** C8: histogram (retries histogram shape). */
+  private def qRetryHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_linenumber").as("bucket"))
+      .agg(count(lit(1)).as("cnt")).orderBy(col("bucket"))
+
+  // ------------------------------------------------------------- generate shapes
+
+  /** C1/C2: top-k per host by score desc — the generate fetchlist selection. */
+  private def qGenerateTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** C3: per-host cap — count surviving a generate.max.count=2 cap. */
+  private def qGenerateHostcap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A4/F3/F4: store-side sorted + limited scan. */
+  private def qSortedLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** F2: distinct. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2 point lookup by key (readdb -url shape). */
+  private def qPointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").where(col("p_partkey") === 42)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+
+  /** A7: dump with regex subset. */
+  private def qDumpRegex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("text").rlike("spark .* window|window .* spark"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt")).orderBy(col("lang"))
+
+  // ------------------------------------------------------------- update shapes
+
+  /** C5/C6: group-by-key, pick latest version, aggregate the rest — the
+    * updatedb merge shape (latest page version + inlink aggregation). */
+  private def qUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"),
+        max(when(col("rn") === 1, col("event_type"))).as("last_type"),
+        round(max(when(col("rn") === 1, col("value"))), 3).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** C7: OPIC cash distribution — distribute a per-order budget equally over
+    * its lines, sum inbound per target (map-side distribute + reduce sum). */
+  private def qOpicPropagate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val outdeg = Window.partitionBy(col("l_orderkey"))
+    li.withColumn("outdeg", count(lit(1)).over(outdeg))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("share", col("o_totalprice") / col("outdeg"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(round(sum(col("share")), 2).as("inbound_cash"))
+      .where(col("partkey") < 100)
+      .orderBy(col("partkey"))
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /** D3: new-URL anti-join — keys on the left absent from the right (the
+    * right side restricted to high-value orders so the result is non-empty
+    * and the anti-join semantics are actually exercised). */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(50)
+
+  /** D3 complement: seen-set semi join. */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** D1: frontier x small dimension — broadcast the dims explicitly. */
+  private def qDimJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** D2/F1: tagged union of two row streams cogrouped by key (the updatedb
+    * page ⋃ scoredatum shuffle). */
+  private def qUnionCogroup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"), lit(1).as("is_order"), lit(0).as("is_line"))
+    val lines = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("k"), lit(0).as("is_order"), lit(1).as("is_line"))
+    orders.union(lines).groupBy(col("k"))
+      .agg(sum(col("is_order")).as("n_orders"), sum(col("is_line")).as("n_lines"))
+      .where(col("k") < 200).orderBy(col("k"))
+  }
+
+  /** C10/D3: bloom-prefiltered seen membership confirmed by exact semi join
+    * (bloom positives are candidates only; result equals exact membership). */
+  private def qBloomSeen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custKeys = t(s, dir, "customer").select(col("c_custkey").cast("string")).as[String]
+    val seen = graft.seen.BloomSeen.build(custKeys.rdd, numParts = 8,
+      expectedItems = 10000, fpp = 0.01)
+    val b = s.sparkContext.broadcast(seen)
+    val candidates = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      .filter(udf((k: Long) => b.value.mightContain(k.toString)).apply(col("o_custkey")))
+    candidates
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // ------------------------------------------------------------- time windows
+
+  /** G-analogue: tumbling hour windows over the event stream (batch form). */
+  private def qWindowEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
+      .groupBy(col("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
+      .where(col("hour_epoch") < lit(1704153600L)) // first 2 days, keeps output small
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  // --------------------------------------------------------- dedup / text ops
+
+  /** Exact dedup by content hash (hash-groupBy dedup). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy(col("source"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END")
+        .as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .where(col("shingle") =!= "")
+      .distinct()
+
+  /** N-gram Jaccard near-dup pairs (shingle -> inverted index -> pair join). */
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
+      .where(col("jaccard") >= 0.1)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash + LSH banding: shingle -> k minhashes -> band buckets ->
+    * candidate pair join (the scalable near-dup path). */
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    // multipliers < 2^20 so a*x stays below 2^62 for 40-bit x (DuckDB errors
+    // on BIGINT overflow; Spark would silently wrap)
+    val as = Seq(387421L, 921043L, 450157L, 700417L, 104729L, 999983L)
+    val bs = Seq(12289L, 786433L, 196613L, 402653L, 161051L, 69857L)
+    val sh = shingles(s, dir).withColumn("x", hash40(col("shingle")))
+    val mhCols = (0 until 6).map(i =>
+      min((col("x") * as(i) + bs(i)) % p).as(s"mh$i"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // 3 bands of 2 rows each
+    val bands = (0 until 3).map { bi =>
+      mh.select(col("doc_id"), lit(bi).as("band"),
+        concat_ws("_", col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("sig"))
+    }.reduce(_ union _)
+    val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
+    val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
+    l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash (16-bit) document fingerprints from token hashes. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("x", hash40(col("w")))
+    toks
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("signed", expr("(shiftright(x, cast(b AS int)) & 1) * 2 - 1"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("signed")).as("bitsum"))
+      .withColumn("bitval", when(col("bitsum") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bitval, cast(b AS int))")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: stable 60-bit content hash (rolling-hash family). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        conv(substring(md5(lower(col("text"))), 1, 15), 16, 10).cast("long").as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Language/quality scoring: token counts, stopword ratio, char stats. */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .withColumn("ws", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("n_stop", size(filter(col("ws"), w => w === "the" || w === "a")))
+    toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_stop").cast("double") / col("n_tokens")), 4).as("stop_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token counting per source (BPE-ish whitespace tokenizer). */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n", size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  // ------------------------------------------------------- similarity search
+
+  private def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    dot / sqrt(na * nb)
+  }
+
+  /** Brute-force cosine top-k neighbors for probe vectors (the ANN baseline). */
+  private def qEmbedCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val joined = probes.crossJoin(emb.where(col("vec_id") >= 5))
+      .withColumn("sim", round(cosineSim(col("qe"), col("e")), 3))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** LSH-bucketed ANN: sign bits of the first 4 dims bucket the space; probes
+    * only scan their own bucket (the scale path vs brute force). */
+  private def qEmbedLshAnn(s: SparkSession, dir: String): DataFrame = {
+    def bucketOf(e: Column): Column =
+      (0 until 4).map(i => when(element_at(e, i + 1) > 0, 1 << i).otherwise(0))
+        .reduce(_ + _)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", bucketOf(col("e")))
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+    val joined = probes.join(emb.where(col("vec_id") >= 10), Seq("bucket"))
+      .withColumn("sim", round(cosineSim(col("qe"), col("e")), 3))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("bucket"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("qid"))
+  }
+
+  // ----------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter_agg" -> (qScanFilterAgg _),
+    "q_status_counts" -> (qStatusCounts _),
+    "q_retry_histogram" -> (qRetryHistogram _),
+    "q_generate_topk" -> (qGenerateTopk _),
+    "q_generate_hostcap" -> (qGenerateHostcap _),
+    "q_sorted_limit" -> (qSortedLimit _),
+    "q_distinct" -> (qDistinct _),
+    "q_point_lookup" -> (qPointLookup _),
+    "q_dump_regex" -> (qDumpRegex _),
+    "q_update_merge" -> (qUpdateMerge _),
+    "q_opic_propagate" -> (qOpicPropagate _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_dim_join" -> (qDimJoin _),
+    "q_union_cogroup" -> (qUnionCogroup _),
+    "q_bloom_seen" -> (qBloomSeen _),
+    "q_window_events" -> (qWindowEvents _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
+    "q_embed_lsh_ann" -> (qEmbedLshAnn _))
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty,
+         round(avg(l_extendedprice),4) AS avg_price
+         FROM lineitem WHERE l_discount < 0.05
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_status_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q_retry_histogram" ->
+      "SELECT l_linenumber AS bucket, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_generate_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_generate_hostcap" ->
+      """SELECT count(*) AS cnt FROM (
+           SELECT row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 2""",
+    "q_sorted_limit" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_point_lookup" ->
+      "SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey = 42",
+    "q_dump_regex" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+         WHERE regexp_matches(text, 'spark .* window|window .* spark')
+         GROUP BY lang ORDER BY lang""",
+    "q_update_merge" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),3) AS sum_value,
+                max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+                round(max(CASE WHEN rn = 1 THEN value END),3) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+    "q_opic_propagate" ->
+      """SELECT l_partkey AS partkey, round(sum(o_totalprice / outdeg),2) AS inbound_cash
+         FROM (SELECT l_orderkey, l_partkey,
+                      count(*) OVER (PARTITION BY l_orderkey) AS outdeg
+               FROM lineitem) li
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_partkey < 100
+         GROUP BY l_partkey ORDER BY partkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey LIMIT 50""",
+    "q_semi_join" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_dim_join" ->
+      """SELECT n_name, count(*) AS cnt, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_union_cogroup" ->
+      """SELECT k, sum(is_order) AS n_orders, sum(is_line) AS n_lines FROM (
+           SELECT o_custkey AS k, 1 AS is_order, 0 AS is_line FROM orders
+           UNION ALL
+           SELECT o_custkey AS k, 0 AS is_order, 1 AS is_line
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         GROUP BY k HAVING k < 200 ORDER BY k""",
+    "q_bloom_seen" ->
+      """SELECT count(*) AS cnt FROM (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer))""",
+    "q_window_events" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+                event_type, count(*) AS cnt, round(sum(value),3) AS sum_value
+         FROM events GROUP BY 1, 2 HAVING hour_epoch < 1704153600
+         ORDER BY hour_epoch, event_type""",
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS cnt, count(DISTINCT md5(text)) AS n_unique
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
+         ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, round(inter*1.0/(sa.sz + sb.sz - inter), 4) AS jaccard
+           FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db)
+         WHERE jaccard >= 0.1 ORDER BY da, db""",
+    "q_dedup_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
+         ), hx AS (
+           SELECT doc_id, ('0x' || substr(md5(shingle),1,10))::BIGINT AS x FROM sh
+         ), mh AS (
+           SELECT doc_id,
+             min((x*387421 + 12289) % 2305843009213693951) AS mh0,
+             min((x*921043 + 786433) % 2305843009213693951) AS mh1,
+             min((x*450157 + 196613) % 2305843009213693951) AS mh2,
+             min((x*700417 + 402653) % 2305843009213693951) AS mh3,
+             min((x*104729 + 161051) % 2305843009213693951) AS mh4,
+             min((x*999983 + 69857) % 2305843009213693951) AS mh5
+           FROM hx GROUP BY doc_id
+         ), bands AS (
+           SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh)
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         ORDER BY da, db""",
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           FROM documents WHERE doc_id < 100
+         ), hx AS (
+           SELECT doc_id, ('0x' || substr(md5(w),1,10))::BIGINT AS x FROM toks WHERE w <> ''
+         ), bits AS (
+           SELECT doc_id, b, sum(((x >> b) & 1) * 2 - 1) AS bitsum
+           FROM hx, unnest(range(0,16)) AS t(b) GROUP BY 1, 2
+         )
+         SELECT doc_id, sum((CASE WHEN bitsum > 0 THEN 1 ELSE 0 END)::BIGINT << b) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, ('0x' || substr(md5(lower(text)),1,15))::BIGINT AS fp
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT lang, count(*) AS cnt,
+                round(avg(len(regexp_split_to_array(lower(text),'\s+'))), 4) AS avg_tokens,
+                round(avg(n_chars), 2) AS avg_chars,
+                round(avg(len(list_filter(regexp_split_to_array(lower(text),'\s+'),
+                      w -> w = 'the' OR w = 'a')) * 1.0 /
+                      len(regexp_split_to_array(lower(text),'\s+'))), 4) AS stop_ratio
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_token_count" ->
+      """SELECT source,
+                sum(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> ''))) AS total_tokens,
+                count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_embed_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         probes AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 5),
+         sims AS (
+           SELECT qid, vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * embedding[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+             , 3) AS sim
+           FROM probes, e WHERE vec_id >= 5)
+         SELECT qid, vec_id AS neighbor, sim, rn FROM (
+           SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM sims) WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_embed_lsh_ann" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         probes AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < 10),
+         sims AS (
+           SELECT qid, e.bucket, vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * embedding[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+             , 3) AS sim
+           FROM probes JOIN e USING (bucket) WHERE vec_id >= 10)
+         SELECT qid, bucket, vec_id AS neighbor, sim FROM (
+           SELECT qid, bucket, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM sims) WHERE rn = 1 ORDER BY qid""")
 }
