@@ -1,24 +1,155 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark entrypoint (driver contract): prints ONE JSON line with
+  * headline query timings on SPARK_GRAFT_SF_DIR plus crawl throughput
+  * (fetched URLs/sec, frontier-update rows/sec) and the north_rule's
+  * two-parallelism-level scaling evidence (local[N] vs local[4N] as the
+  * sandbox proxy for N vs 4N executors — see BASELINE.md).
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the generate/fetch/update RDD shuffles move WebPage/UpdateMsg case
+      // classes; Kryo beats Java serialization several-fold there
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrationRequired", "false")
+      // image rows are ~12KB of binary; the default 4096-row vectorized
+      // batch is ~50MB per concurrent task — size batches for fat rows
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Force full materialization without collecting to the driver. */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private val headline = Seq(
+    "q_scan_filter_agg", "q_generate_topk", "q_update_merge", "q_opic_propagate",
+    "q_dim_join", "q_union_cogroup", "q_anti_join", "q_window_events",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_text_quality", "q_embed_cosine_topk", "q_embed_lsh_ann")
+
+  case class CrawlTimings(generate: Double, fetch: Double, update: Double) {
+    def total: Double = generate + fetch + update
+  }
+
+  /** One full crawl round (inject + generate + fetch/parse + update) over a
+    * pre-built image universe; returns per-stage seconds. */
+  private def crawlRound(spark: SparkSession, imagesDir: String, pages: Long,
+      hosts: Int, parts: Int): CrawlTimings = {
+    import spark.implicits._
+    import graft.crawl.{Crawl, CrawlConfig}
+    import graft.images.ImageSynth
+    import graft.site.PhashOutlinks
+
+    // storingContent=false: payloads feed the inline parse, then drop —
+    // the production-crawl setting; frontier state stays content-free
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = parts, topN = 0,
+      storingContent = false)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-table").toString
+    val images = spark.read.parquet(imagesDir)
+    val crawl = new Crawl(spark, tableDir, images, conf, PhashOutlinks(pages, hosts, 4))
+    val seeds = spark.range(0, pages, 1, parts).map(i => ImageSynth.urlOf(i, hosts))
+    // inject untimed (one-off bootstrap, not part of steady-state throughput)
+    crawl.table.append(
+      graft.jobs.InjectorJob.inject(spark, seeds, conf, crawl.curTimeOf(0)).toDF(),
+      0, "inject")
+    val (_, tGen) = time(crawl.generate(1))
+    val (_, tFetch) = time(crawl.fetchAndParse(1))
+    val (_, tUpd) = time(crawl.update(1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+    CrawlTimings(tGen, tFetch, tUpd)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000").toLong
+    val imgSide = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMG", "64").toInt
+    val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
+    val hosts = math.max(16, (pages / 50).toInt)
+    val lowCpus = math.max(1, cpus / 4)
+
+    // ---- phase A: headline operator queries on the shared testdata
+    var spark = session(cpus)
+    val qTimes = headline.flatMap { name =>
+      Queries.all.get(name).map { fn =>
+        val (_, secs) = time(run(fn(spark, sfDir)))
+        name -> secs
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase B: synthesize the image universe once (untimed, reused)
+    val imagesDir = s"/tmp/graft-bench-images-$pages-$imgSide"
+    if (!new java.io.File(imagesDir, "_SUCCESS").exists()) {
+      graft.images.ImageSynth.writeImagesTable(spark, imagesDir, pages, hosts,
+        w = imgSide, h = imgSide, partitions = cpus * 2)
+    }
+
+    // ---- phase C: crawl throughput at full parallelism. Warm up first:
+    // the first crawl in a JVM pays one-off codegen/JIT costs, and the
+    // first full scan of the image universe pays the disk read (after it
+    // the OS page cache serves it) — neither belongs to the parallelism
+    // level that happens to run first.
+    def warm(s: SparkSession): Unit = {
+      import org.apache.spark.sql.functions.{length, sum}
+      s.read.parquet(imagesDir).select(sum(length(org.apache.spark.sql.functions.col("bytes")))).collect()
+      // two warmup rounds: C2 JIT + codegen need a couple of full passes
+      crawlRound(s, imagesDir, math.min(pages, 20000L), hosts, parts = cpus * 2)
+      crawlRound(s, imagesDir, math.min(pages, 20000L), hosts, parts = cpus * 2)
+    }
+    warm(spark)
+    val tHigh = crawlRound(spark, imagesDir, pages, hosts, parts = cpus * 2)
+    val fetchedPerSec = pages / tHigh.fetch
+    val updatePerSec = pages / tHigh.update
+    val thrHigh = pages / tHigh.total
+
+    // ---- phase D: scaling evidence, same job at cpus/4
+    var scaling: Map[String, Double] = Map.empty
+    if (!skipScaling) {
+      spark.stop()
+      spark = session(lowCpus)
+      warm(spark)
+      val tLow = crawlRound(spark, imagesDir, pages, hosts, parts = cpus * 2)
+      val thrLow = pages / tLow.total
+      val efficiency = thrHigh / ((cpus.toDouble / lowCpus) * thrLow)
+      scaling = Map(
+        s"throughput_local$lowCpus" -> thrLow,
+        s"throughput_local$cpus" -> thrHigh,
+        "efficiency" -> efficiency,
+        s"round_secs_local$lowCpus" -> tLow.total,
+        s"round_secs_local$cpus" -> tHigh.total)
+    }
     spark.stop()
+
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val total = qTimes.map(_._2).sum
+    val crawlJson =
+      s""""crawl":{"pages":$pages,"fetched_urls_per_sec":${f(fetchedPerSec)},""" +
+        s""""update_rows_per_sec":${f(updatePerSec)},"generate_sec":${f(tHigh.generate)},""" +
+        s""""fetch_sec":${f(tHigh.fetch)},"update_sec":${f(tHigh.update)}}"""
+    val scalingJson =
+      if (scaling.isEmpty) ""
+      else "," + s""""scaling":${scaling.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$crawlJson$scalingJson}""")
   }
 }

@@ -67,31 +67,40 @@ final class Crawl(
     table.append(out.toDF(), round, "generate")
   }
 
+  /** The generate stage committed exactly this round's fetchlist as its
+    * delta snapshot, so fetch reads that delta directly — no full-table
+    * scan, no key-resolution window (the reference's batch-id pushdown
+    * filter A3, done one better: the delta IS the batch). */
   def fetchAndParse(round: Int): Long = {
     val batchId = batchIdOf(round)
-    val generated = view.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+    val sid = table.snapshotFor(round, "generate")
+      .getOrElse(throw new IllegalStateException(s"generate snapshot missing for round $round"))
+    val generated = table.readSnapshot(spark, sid).drop("snapshot_id").as[WebPage]
     val fetched = FetcherJob.fetch(spark, generated, images, env, conf, batchId,
       curTimeOf(round), round)
     val parsed = ParserJob.parse(spark, fetched, conf, source, batchId)
     table.append(parsed.toDF(), round, "fetch")
   }
 
+  /** updatedb's cohort is exactly the fetch stage's delta snapshot. */
   def update(round: Int): Long = {
-    val batchId = batchIdOf(round)
-    val v = view.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val batch = v.filter(_.markers.get(Marks.GENERATE).contains(batchId))
-      var updated = DbUpdateJob.update(spark, batch, conf, curTimeOf(round), round)
-      if (conf.filterSeenNewPages) {
-        // scale path: partitioned bloom over the store's keys (treeAggregate
-        // merge), exact anti-join on the bloom-positive survivors
-        val keys = v.map(_.key)
-        val expected = math.max(1000L, keys.rdd.countApprox(2000L).getFinalValue().mean.toLong)
-        val seen = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected, conf.seenBloomFpp)
-        updated = DbUpdateJob.suppressSeenNewPages(spark, updated, seen, keys)
-      }
+    val sid = table.snapshotFor(round, "fetch")
+      .getOrElse(throw new IllegalStateException(s"fetch snapshot missing for round $round"))
+    val batch = table.readSnapshot(spark, sid).drop("snapshot_id").as[WebPage]
+    var updated = DbUpdateJob.update(spark, batch, conf, curTimeOf(round), round)
+    if (conf.filterSeenNewPages) {
+      // scale path: partitioned bloom over the store's keys (treeAggregate
+      // merge), exact anti-join on the bloom-positive survivors
+      val keys = view.map(_.key).persist(StorageLevel.MEMORY_AND_DISK)
+      val expected = math.max(1000L, keys.count())
+      val seen = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected, conf.seenBloomFpp)
+      updated = DbUpdateJob.suppressSeenNewPages(spark, updated, seen, keys)
+      val id = table.append(updated.toDF(), round, "update")
+      keys.unpersist()
+      id
+    } else {
       table.append(updated.toDF(), round, "update")
-    } finally v.unpersist()
+    }
   }
 
   /** Run the crawl for `depth` rounds, resuming from whatever the table has

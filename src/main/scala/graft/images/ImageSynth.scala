@@ -57,40 +57,71 @@ object ImageSynth {
     out
   }
 
+  // ImageIO's disk cache and per-call plugin-registry scans serialize
+  // under concurrency (negative scaling past ~8 threads); use in-memory
+  // streams and thread-local codec instances instead.
+  ImageIO.setUseCache(false)
+
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
+
   def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    // TYPE_3BYTE_BGR raster is a flat BGR byte buffer: bulk-copy with swap
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var p = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = pixels(p) & 0xff; val g = pixels(p + 1) & 0xff; val b = pixels(p + 2) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        p += 3; x += 1
-      }
-      y += 1
+    while (p < data.length) {
+      data(p) = pixels(p + 2) // B
+      data(p + 1) = pixels(p + 1) // G
+      data(p + 2) = pixels(p) // R
+      p += 3
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = pngWriter.get()
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.flush()
     bos.toByteArray
   }
 
   def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = pngReader.get()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes)))
+    val img = reader.read(0)
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Byte](w * h * 3)
-    var p = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        out(p) = ((rgb >> 16) & 0xff).toByte
-        out(p + 1) = ((rgb >> 8) & 0xff).toByte
-        out(p + 2) = (rgb & 0xff).toByte
-        p += 3; x += 1
-      }
-      y += 1
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR =>
+        val data = db.getData
+        var p = 0
+        while (p < data.length) {
+          out(p) = data(p + 2); out(p + 1) = data(p + 1); out(p + 2) = data(p)
+          p += 3
+        }
+      case _ =>
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(p) = ((rgb >> 16) & 0xff).toByte
+            out(p + 1) = ((rgb >> 8) & 0xff).toByte
+            out(p + 2) = (rgb & 0xff).toByte
+            p += 3; x += 1
+          }
+          y += 1
+        }
     }
     (out, w, h)
   }

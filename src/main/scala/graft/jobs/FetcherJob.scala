@@ -141,14 +141,14 @@ object FetcherJob {
         else if (img == null)
           page.copy(status = CrawlStatus.GONE,
             protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L))
-        else if (c.storingContent)
+        else
+          // content always attaches here so the inline parse can decode it;
+          // when fetcher.store.content=false the parse stage strips it before
+          // the table write (reference: FetcherReducer.output:640-652)
           page.copy(
             content = img.bytes,
             contentType = s"image/${img.fmt}",
             baseUrl = page.url,
-            metadata = page.metadata + ("caption" -> img.caption))
-        else
-          page.copy(contentType = s"image/${img.fmt}", baseUrl = page.url,
             metadata = page.metadata + ("caption" -> img.caption))
     }
   }

@@ -83,7 +83,14 @@ object ParserJob {
     val c = conf
     val s = source
     val b = batchId
-    fetched.map(p => parsePage(p, c, s, filter, b))
+    fetched.map { p =>
+      val parsed = parsePage(p, c, s, filter, b)
+      // fetcher.store.content=false: the payload served the inline parse;
+      // drop it before the table write so content bytes never enter the
+      // frontier-state shuffles (reference: FetcherReducer.output:640-652)
+      if (!c.storingContent && parsed.content != null) parsed.copy(content = null)
+      else parsed
+    }
   }
 }
 

@@ -65,8 +65,8 @@ object PolitenessScheduler {
   /** Queue id = lowercase proto://host (FetchItem.create, byHost mode). */
   def queueIdOf(url: String): String =
     graft.url.UrlUtil.tryParse(url) match {
-      case Some(u) if u.getHost != null =>
-        s"${u.getProtocol.toLowerCase}://${u.getHost.toLowerCase}"
+      case Some(u) if u.host != null =>
+        s"${u.protocol}://${u.host.toLowerCase}"
       case _ => url
     }
 }

@@ -48,9 +48,9 @@ case class OpicScoring(conf: CrawlConfig) extends Serializable {
     val scoreUnit = cash / allCount
     val internalScore = scoreUnit * conf.internalScoreFactor
     val externalScore = scoreUnit * conf.externalScoreFactor
-    val fromHost = UrlUtil.tryParse(fromUrl).map(_.getHost).orNull
+    val fromHost = UrlUtil.tryParse(fromUrl).map(_.host).orNull
     val scored = scoreData.map { sd =>
-      val toHost = UrlUtil.tryParse(sd.url).map(_.getHost).orNull
+      val toHost = UrlUtil.tryParse(sd.url).map(_.host).orNull
       val s =
         if (toHost != null && fromHost != null && toHost.equalsIgnoreCase(fromHost)) internalScore
         else externalScore

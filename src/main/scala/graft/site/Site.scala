@@ -11,7 +11,7 @@ import graft.images.ImageSynth
 case class RobotsRule(host: String, disallow: Seq[String] = Seq.empty,
     crawlDelayMs: Long = 0L) {
   def isAllowed(url: String): Boolean = {
-    val path = graft.url.UrlUtil.tryParse(url).map(_.getFile).getOrElse(url)
+    val path = graft.url.UrlUtil.tryParse(url).map(_.file).getOrElse(url)
     !disallow.exists(d => d.nonEmpty && path.startsWith(d))
   }
 }

@@ -1,6 +1,6 @@
 package graft.url
 
-import java.net.{MalformedURLException, URL}
+import java.net.MalformedURLException
 import java.util.regex.Pattern
 
 /** Rule-for-rule re-expression of the reference's urlnormalizer-basic
@@ -9,7 +9,8 @@ import java.util.regex.Pattern
   * "/", then iteratively collapse "/xx/../", leading "/../", "/./" and "//"
   * in the file part — one first-occurrence substitution per pattern per
   * iteration, until the string stops shrinking, exactly like the reference's
-  * Perl5 Util.substitute(..., 1) loop.
+  * Perl5 Util.substitute(..., 1) loop. Parses with the lock-free [[PUrl]]
+  * (java.net.URL's handler table serializes under concurrency).
   */
 object BasicUrlNormalizer {
 
@@ -23,11 +24,11 @@ object BasicUrlNormalizer {
   def normalize(urlString0: String): String = {
     if (urlString0 == "") return urlString0
     var urlString = urlString0.trim
-    val url = new URL(urlString)
-    val protocol = url.getProtocol
-    var host = url.getHost
-    var port = url.getPort
-    var file = url.getFile
+    val url = PUrl.parse(urlString).getOrElse(throw new MalformedURLException(urlString0))
+    val protocol = url.protocol
+    var host = url.host
+    var port = url.port
+    var file = url.file
 
     var changed = false
     if (!urlString.startsWith(protocol)) changed = true // protocol was lowercased
@@ -37,14 +38,14 @@ object BasicUrlNormalizer {
         val newHost = host.toLowerCase
         if (host != newHost) { host = newHost; changed = true }
       }
-      if (port == url.getDefaultPort) { port = -1; changed = true }
+      if (port == url.defaultPort) { port = -1; changed = true }
       if (file == null || file == "") { file = "/"; changed = true }
-      if (url.getRef != null) changed = true
+      if (url.ref != null) changed = true
       val file2 = substituteUnnecessaryRelativePaths(file)
       if (file != file2) { changed = true; file = file2 }
     }
 
-    if (changed) urlString = new URL(protocol, host, port, file).toString
+    if (changed) urlString = PUrl(protocol, host, port, file, null, null).reconstruct(file)
     urlString
   }
 

@@ -31,10 +31,10 @@ object UrlPartitioner {
     var hashCode = normalized.hashCode
     UrlUtil.tryParse(normalized).foreach { url =>
       mode match {
-        case ModeHost   => hashCode = url.getHost.hashCode
+        case ModeHost   => hashCode = url.host.hashCode
         case ModeDomain => hashCode = UrlUtil.getDomainName(url).hashCode
         case ModeUrl    => hashCode = normalized.hashCode
-        case _          => hashCode = url.getHost.hashCode
+        case _          => hashCode = url.host.hashCode
       }
     }
     hashCode ^= seed

@@ -1,18 +1,29 @@
 package graft.url
 
-import java.net.{MalformedURLException, URL}
 import java.nio.charset.StandardCharsets
-import java.util.UUID
+import java.security.MessageDigest
 
 /** URL analysis utilities.
   *
   * Re-expresses the reference's util/TableUtil.java (reverseUrl:43-87,
   * unreverseUrl:89-117, computeKey:146-153) and util/URLUtil.java
-  * (getDomainName:86-118, chooseRepr:246-300) as pure Scala functions.
+  * (getDomainName:86-118, chooseRepr:246-300) as pure Scala functions over
+  * the lock-free [[PUrl]] parser (no shared-state java.net.URL in the hot
+  * path) with thread-local digests.
   */
 object UrlUtil {
 
   private val IpPattern = """(\d{1,3}\.){3}(\d{1,3})""".r.pattern
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(bytes)
+  }
 
   /** Compact public-suffix set. The reference ships a full
     * domain-suffixes.xml; we embed the common subset (generic TLDs, ccTLDs
@@ -45,18 +56,16 @@ object UrlUtil {
 
   def isDomainSuffix(s: String): Boolean = domainSuffixes.contains(s)
 
-  def tryParse(url: String): Option[URL] =
-    try Some(new URL(url))
-    catch { case _: MalformedURLException => None }
+  def tryParse(url: String): Option[PUrl] = PUrl.parse(url)
 
   def getHost(url: String): String =
-    tryParse(url).map(_.getHost).filter(_ != null).getOrElse(url)
+    PUrl.parse(url).map(_.host).filter(_ != null).getOrElse(url)
 
   /** Domain name = hostname without subdomains; public-suffix aware
     * (reference: util/URLUtil.java:86-118).
     */
-  def getDomainName(url: URL): String = {
-    var host = url.getHost
+  def getDomainName(url: PUrl): String = {
+    var host = url.host
     if (host.endsWith(".")) host = host.substring(0, host.length - 1)
     if (IpPattern.matcher(host).matches()) return host
     var candidate = host
@@ -71,19 +80,21 @@ object UrlUtil {
   }
 
   def getDomainName(url: String): String =
-    tryParse(url).map(getDomainName).getOrElse(url)
+    PUrl.parse(url).map(getDomainName).getOrElse(url)
 
   /** Host-reversed storage key, e.g.
     * "http://bar.foo.com:8983/to/index.html?a=b" -> "com.foo.bar:http:8983/to/index.html?a=b"
     * (reference: util/TableUtil.java:43-87).
     */
-  def reverseUrl(urlString: String): String = reverseUrl(new URL(urlString))
+  def reverseUrl(urlString: String): String =
+    reverseUrl(PUrl.parse(urlString)
+      .getOrElse(throw new java.net.MalformedURLException(urlString)))
 
-  def reverseUrl(url: URL): String = {
-    val host = url.getHost
-    val file = url.getFile
-    val protocol = url.getProtocol
-    val port = url.getPort
+  def reverseUrl(url: PUrl): String = {
+    val host = url.host
+    val file = url.file
+    val protocol = url.protocol
+    val port = url.port
     val buf = new StringBuilder
     reverseAppendSplits(host, buf)
     buf.append(':').append(protocol)
@@ -127,17 +138,31 @@ object UrlUtil {
   }
 
   /** Deterministic storage key = name-UUID (v3, md5) of the URL (reference:
-    * util/TableUtil.java:146-153). Where the reference mints a *random* UUID
-    * to version already-fetched rows, we derive a deterministic version key
-    * instead (see [[versionKey]]) — randomness would break reproducibility
-    * and the reference only needs uniqueness.
+    * util/TableUtil.java:146-153) — bit-identical to
+    * java.util.UUID.nameUUIDFromBytes but via a thread-local digest. Where
+    * the reference mints a *random* UUID to version already-fetched rows,
+    * we derive a deterministic version key instead (see [[versionKey]]) —
+    * randomness would break reproducibility and the reference only needs
+    * uniqueness.
     */
-  def uuid3(url: String): String =
-    UUID.nameUUIDFromBytes(url.getBytes(StandardCharsets.UTF_8)).toString
+  def uuid3(url: String): String = {
+    val b = md5(url.getBytes(StandardCharsets.UTF_8))
+    b(6) = ((b(6) & 0x0f) | 0x30).toByte // version 3
+    b(8) = ((b(8) & 0x3f) | 0x80).toByte // IETF variant
+    val sb = new java.lang.StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      val v = b(i) & 0xff
+      sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Deterministic replacement for the reference's random re-key of fetched
     * rows (GeneratorReducer.java:99-102): version rows are keyed by
-    * uuid3(url + "#" + round), unique per (url, round).
+    * uuid3(url + "#v" + round), unique per (url, round).
     */
   def versionKey(url: String, round: Int): String = uuid3(url + "#v" + round)
 
@@ -145,15 +170,14 @@ object UrlUtil {
     * (reference: util/URLUtil.java:246-300).
     */
   def chooseRepr(src: String, dst: String, temp: Boolean): String = {
-    val (srcUrl, dstUrl) =
-      try (new URL(src), new URL(dst))
-      catch { case _: MalformedURLException => return dst }
+    val srcUrl = PUrl.parse(src).getOrElse(return dst)
+    val dstUrl = PUrl.parse(dst).getOrElse(return dst)
     val srcDomain = getDomainName(srcUrl)
     val dstDomain = getDomainName(dstUrl)
-    val srcHost = srcUrl.getHost
-    val dstHost = dstUrl.getHost
-    val srcFile = srcUrl.getFile
-    val dstFile = dstUrl.getFile
+    val srcHost = srcUrl.host
+    val dstHost = dstUrl.host
+    val srcFile = srcUrl.file
+    val dstFile = dstUrl.file
     val srcRoot = srcFile == "/" || srcFile.isEmpty
     val dstRoot = dstFile == "/" || dstFile.isEmpty
 

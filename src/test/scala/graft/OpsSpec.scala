@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.images.ImageSynth
+import graft.ops.Multimodal
+
+class OpsSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
+
+  private lazy val images = ImageSynth.imagesDf(spark, nPages = 24, nHosts = 4,
+    w = 32, h = 32, partitions = 2).cache()
+
+  test("multimodal: decode + metadata extraction over binary column") {
+    val metas = Multimodal.imageMeta(images).collect()
+    assert(metas.length == 24)
+    assert(metas.forall(m => m.w == 32 && m.h == 32 && m.fmt == "png"))
+    // phash recomputed from decoded pixels matches the table's phash
+    val byId = images.select("image_id", "phash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    metas.foreach(m => assert(m.phash == byId(m.id), s"phash mismatch for ${m.id}"))
+  }
+
+  test("multimodal: resize produces decodable images of the target size") {
+    val small = Multimodal.resize(images, 8, 8).collect()
+    assert(small.length == 24)
+    small.foreach { r =>
+      val (_, w, h) = ImageSynth.decodeRgb(r.bytes)
+      assert(w == 8 && h == 8)
+    }
+  }
+
+  test("multimodal: feature extraction yields normalized histograms") {
+    val feats = Multimodal.imageFeatures(images).collect()
+    assert(feats.forall(_.feature.length == 48))
+    feats.foreach { f =>
+      val sum = f.feature.sum
+      assert(math.abs(sum - 3.0) < 1e-3, s"histogram should sum to 3 (R+G+B), got $sum")
+    }
+    // deterministic: same input -> same feature
+    val again = Multimodal.imageFeatures(images).collect()
+    assert(feats.sortBy(_.id).zip(again.sortBy(_.id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("multimodal: stubbed audio/video plumbing has the right shape") {
+    val audio = Multimodal.audioFeatures(images).collect()
+    assert(audio.length == 24)
+    assert(audio.forall(_.rms.nonEmpty))
+    val video = Multimodal.videoFrameSample(images, everyK = 2).collect()
+    assert(video.length == 24)
+    assert(video.forall(v => v.n_frames > 0 && v.frame_phashes.length == v.n_frames))
+  }
+
+  test("streaming: snapshot appends drive a live status-count stream") {
+    import graft.crawl.{Crawl, CrawlConfig}
+    import graft.site.PhashOutlinks
+    val dir = SparkTestBase.tmpDir("stream-crawl")
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 2, fetcherServerDelayMs = 10)
+    val imgs = ImageSynth.imagesDf(spark, 30, 3, partitions = 2)
+    val crawl = new Crawl(spark, dir, imgs, conf, PhashOutlinks(30, 3, 2))
+    crawl.run(1, Seq(ImageSynth.urlOf(0, 3), ImageSynth.urlOf(1, 3)), collectStats = false)
+
+    val stream = graft.streaming.CrawlStream.frontierStream(spark, dir)
+    val q = graft.streaming.CrawlStream.startMemorySink(
+      graft.streaming.CrawlStream.statusCounts(stream), "crawl_status_live")
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select * from crawl_status_live").collect()
+      assert(rows.nonEmpty)
+      val total = rows.map(_.getLong(1)).sum
+      assert(total > 0)
+      // run another round; the stream picks up the new snapshots
+      crawl.run(2, Seq(ImageSynth.urlOf(0, 3)), collectStats = false)
+      q.processAllAvailable()
+      val total2 = spark.sql("select * from crawl_status_live").collect().map(_.getLong(1)).sum
+      assert(total2 > total, s"stream should see round-2 snapshots ($total2 vs $total)")
+    } finally q.stop()
+  }
+}
