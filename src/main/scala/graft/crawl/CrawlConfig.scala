@@ -36,6 +36,10 @@ case class CrawlConfig(
     fetcherServerMinDelayMs: Long = 0,
     fetcherThreadsPerQueue: Int = 1,
     fetcherMaxCrawlDelayMs: Long = 30000, // fetcher.max.crawl.delay * 1000
+    // fetcher.timelimit.mins analogue on the virtual clock: items whose
+    // scheduled virtual time exceeds this are dropped from the round's
+    // queues (they stay generated and re-enter a later fetchlist); -1 = off
+    fetcherTimelimitMs: Long = -1,
     storingContent: Boolean = true, // fetcher.store.content
     // parse
     maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page

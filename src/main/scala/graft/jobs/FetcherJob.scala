@@ -115,6 +115,10 @@ object FetcherJob {
       PolitenessScheduler
         .schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
           item => consumesDelay((item._2._1, item._2._2)))
+        // fetcher.timelimit analogue (E5): over-time items are dropped from
+        // the round (queues emptied); they stay generated and become due
+        // again next round (FetcherReducer.java:369-374 semantics)
+        .filter(sch => c.fetcherTimelimitMs < 0 || sch.virtualTimeMs < c.fetcherTimelimitMs)
         .map { sch =>
           val (orig, (status, pcode, effected)) = sch.payload
           val genMark = orig.markers.getOrElse(Marks.GENERATE, batchId)
@@ -132,8 +136,11 @@ object FetcherJob {
     val scheduledDs = spark.createDataset(scheduled)
 
     // payload attach: fetchlist (small) joins the image universe (huge) on
-    // image_id; Catalyst picks the strategy (broadcast when images is small)
-    val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p))
+    // image_id. The fetchlist side carries the shuffle-hash hint: the huge
+    // side must never be sorted or spilled — when the images table is
+    // bucketed by image_id (the production layout, see Bench), the join
+    // shuffles only the fetchlist and streams the payload side.
+    val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p)).hint("shuffle_hash")
     val im = images.as[ImageRow]
     withId.joinWith(im, withId("_1") === im("image_id"), "left_outer").map {
       case ((_, page), img) =>

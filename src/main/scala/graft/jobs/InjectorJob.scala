@@ -74,4 +74,10 @@ object InjectorJob {
     val t = curTime
     seedLines.flatMap(line => buildRow(line, c, t, filter))
   }
+
+  /** A1: seed *file* scan — `spark.read.textFile(seedDir)` feeding the same
+    * row builder (the reference's FileInputFormat path). */
+  def injectFromFile(spark: SparkSession, seedPath: String, conf: CrawlConfig,
+      curTime: Long): Dataset[WebPage] =
+    inject(spark, spark.read.textFile(seedPath), conf, curTime)
 }

@@ -108,7 +108,9 @@ final class RefSim(
         if (o > 0) o else conf.fetcherServerDelayMs
       }
       PolitenessScheduler.schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
-        item => item._2._2 != ProtocolStatusCodes.ROBOTS_DENIED).map { sch =>
+        item => item._2._2 != ProtocolStatusCodes.ROBOTS_DENIED)
+        .filter(sch => conf.fetcherTimelimitMs < 0 || sch.virtualTimeMs < conf.fetcherTimelimitMs)
+        .map { sch =>
         val (orig, (status, pcode, effected)) = sch.payload
         trace += ((round, pid, sch.seq, sch.virtualTimeMs, orig.url))
         val genMark = orig.markers.getOrElse(Marks.GENERATE, batchId)

@@ -153,4 +153,7 @@ final class SnapshotTable(val path: String, val keyCol: String = "key",
 
   /** Highest completed round+stage, for checkpoint resume. */
   def lastCompleted: Option[(Int, String)] = headSnapshot.map(s => (s.round, s.stage))
+
+  /** Drop the whole table (reference: DbCleanerJob store.deleteSchema, A10). */
+  def drop(): Unit = fs.delete(root, true)
 }

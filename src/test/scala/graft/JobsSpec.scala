@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.{Crawl, CrawlConfig}
+import graft.images.ImageSynth
+import graft.jobs.{HostDbJob, IndexerJob, InjectorJob, ReadDbJob}
+import graft.model.{CrawlStatus, WebPage}
+import graft.site.{PhashOutlinks, SyntheticProtocol}
+
+/** Coverage for the remaining SURVEY.md §2 operator rows: readdb stats/dump
+  * (C8/A7), hostdb (C9), indexer sink (A9), seed-file scan (A1), protocol
+  * trait (A11/H), truncate (A10), fetch timelimit (E5), explain-plan
+  * pushdown evidence (§4).
+  */
+class JobsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val crawled: Crawl = {
+    val dir = SparkTestBase.tmpDir("jobs-crawl")
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 4, fetcherServerDelayMs = 10)
+    val images = ImageSynth.imagesDf(spark, 60, 5, partitions = 2)
+    val crawl = new Crawl(spark, dir, images, conf, PhashOutlinks(60, 5, 3))
+    crawl.run(2, (0 until 5).map(i => ImageSynth.urlOf(i, 5)), collectStats = false)
+    crawl
+  }
+
+  test("readdb: stats, status counts, retry histogram, dump, point lookup") {
+    val pages = crawled.table.currentView(spark).drop("snapshot_id")
+    val stats = ReadDbJob.stats(pages).collect().head
+    assert(stats.getLong(0) > 0)
+    assert(stats.getFloat(2) >= stats.getFloat(1)) // max >= min score
+    val counts = ReadDbJob.statusCounts(pages).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(CrawlStatus.FETCHED, 0L) > 0)
+    assert(ReadDbJob.retryHistogram(pages).collect().nonEmpty)
+    val dump = ReadDbJob.dump(pages, Some("page-1\\d\\.html"))
+      .select("url").as[String].collect()
+    assert(dump.nonEmpty && dump.forall(_.matches(".*page-1\\d\\.html")))
+    val u = ImageSynth.urlOf(0, 5)
+    val hit = ReadDbJob.byUrl(pages, u).select("url").as[String].collect()
+    assert(hit.contains(u))
+  }
+
+  test("hostdb aggregates per reversed host") {
+    val pages = crawled.table.currentView(spark).drop("snapshot_id")
+    val hosts = HostDbJob.hostStats(spark, pages).collect()
+    assert(hosts.length == 5)
+    assert(hosts.forall(_.getString(0).startsWith("example.")))
+    assert(hosts.map(_.getLong(1)).sum >= 30) // a solid chunk of the universe discovered
+  }
+
+  test("indexer sink: parsed pages become docs with dampened boost") {
+    val pages = crawled.table.currentView(spark).drop("snapshot_id")
+    val docs = IndexerJob.buildDocs(pages).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { d =>
+      assert(d.getAs[String]("text") != null)
+      assert(d.getAs[Double]("boost") > 0)
+      assert(d.getAs[String]("signature").nonEmpty)
+    }
+  }
+
+  test("seed-file scan (A1): inject from a text file with metadata") {
+    val f = java.nio.file.Files.createTempFile("seeds", ".txt")
+    java.nio.file.Files.writeString(f,
+      """http://seeds.test/a.html
+        |# a comment
+        |http://seeds.test/b.html	nutch.score=2.5	nutch.fetchInterval=60	userType=open_source
+        |""".stripMargin)
+    val rows = InjectorJob.injectFromFile(spark, f.toString,
+      CrawlConfig(), 1000L).collect().sortBy(_.url)
+    assert(rows.length == 2)
+    assert(rows(1).score == 2.5f && rows(1).fetchInterval == 60)
+    assert(rows(1).metadata("userType") == "open_source")
+    assert(rows(0).score == 1.0f) // db.score.injected default
+  }
+
+  test("protocol trait (A11): synthetic protocol fetches and 404s") {
+    val p = SyntheticProtocol(10, 2)
+    val (ok, img) = p.fetch(ImageSynth.urlOf(3, 2), WebPage.forUrl(ImageSynth.urlOf(3, 2)))
+    assert(ok == graft.model.ProtocolStatusCodes.SUCCESS && img.isDefined)
+    val (nf, none) = p.fetch("http://host-0.example/page-99.html", WebPage.forUrl("x"))
+    assert(nf == graft.model.ProtocolStatusCodes.NOTFOUND && none.isEmpty)
+  }
+
+  test("fetch timelimit (E5): over-budget items drop and stay due") {
+    val urls = (0 until 8).map(i => s"http://one.test/p$i.html")
+    val dir = SparkTestBase.tmpDir("timelimit")
+    // one host, delay 100ms, limit 350ms -> items at t=0,100,200,300 fetch; rest drop
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 2,
+      fetcherServerDelayMs = 100, fetcherTimelimitMs = 350)
+    val images = urls.map(u => ImageSynth.rowForUrl(u, 16, 16)).toDF()
+    val crawl = new Crawl(spark, dir, images, conf, graft.site.MapOutlinks(Map.empty))
+    crawl.inject(urls)
+    crawl.generate(1)
+    crawl.fetchAndParse(1)
+    val sid = crawl.table.snapshotFor(1, "fetch").get
+    val fetched = crawl.table.readSnapshot(spark, sid).drop("snapshot_id").as[WebPage].collect()
+    assert(fetched.length == 4, s"expected 4 fetched under the timelimit, got ${fetched.length}")
+    // the dropped ones are still generated (due next round)
+    val all = crawl.table.currentView(spark).drop("snapshot_id").as[WebPage].collect()
+    assert(all.count(_.status == CrawlStatus.UNFETCHED) == 4)
+  }
+
+  test("truncate (A10): drop removes the table") {
+    val dir = SparkTestBase.tmpDir("drop-table")
+    val t = new graft.table.SnapshotTable(dir)
+    t.append(Seq(("k", 1)).toDF("key", "v"), 0, "inject")
+    assert(t.exists)
+    t.drop()
+    assert(!t.exists)
+  }
+
+  test("explain: predicate pushdown and column pruning reach the parquet scan (§4)") {
+    val df = Queries.all("q_scan_filter_agg")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(l_discount"),
+      s"filter not pushed down:\n$plan")
+    assert(!plan.contains("l_orderkey"), "column pruning failed: unused column in scan")
+    assert(plan.contains("ReadSchema: struct<l_quantity"), "scan should read only needed columns")
+  }
+
+  test("explain: small dims broadcast in q_dim_join") {
+    val df = Queries.all("q_dim_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
+  }
+}
