@@ -90,13 +90,15 @@ final class Crawl(
     var updated = DbUpdateJob.update(spark, batch, conf, curTimeOf(round), round)
     if (conf.filterSeenNewPages) {
       // scale path: partitioned bloom over the store's keys (treeAggregate
-      // merge), exact anti-join on the bloom-positive survivors
-      val keys = view.map(_.key).persist(StorageLevel.MEMORY_AND_DISK)
+      // merge) prefilters discovered urls; bloom-positives join the store
+      // and merge state-preservingly (see DbUpdateJob.mergeSeenNewPages)
+      val v = view.persist(StorageLevel.MEMORY_AND_DISK)
+      val keys = v.map(_.key)
       val expected = math.max(1000L, keys.count())
       val seen = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected, conf.seenBloomFpp)
-      updated = DbUpdateJob.suppressSeenNewPages(spark, updated, seen, keys)
+      updated = DbUpdateJob.mergeSeenNewPages(spark, updated, seen, v)
       val id = table.append(updated.toDF(), round, "update")
-      keys.unpersist()
+      v.unpersist()
       id
     } else {
       table.append(updated.toDF(), round, "update")

@@ -1,0 +1,100 @@
+package graft.crawl
+
+import org.apache.spark.sql.SparkSession
+
+import graft.images.ImageSynth
+import graft.jobs.ReadDbJob
+import graft.site.PhashOutlinks
+
+/** spark-submit CLI mirroring the reference's `bin/nutch` tool surface
+  * (SURVEY.md §3.2): inject / generate / fetch / updatedb run individual
+  * stages against a table path; `crawl` runs the full loop; `readdb`
+  * prints stats or a dump. Example:
+  *
+  * {{{
+  * spark-submit --class graft.crawl.CrawlMain <jar> \
+  *   crawl --table /data/frontier --images /data/images \
+  *         --pages 1000000 --hosts 20000 --depth 3 --topn 50000 --seeds 1000
+  * spark-submit --class graft.crawl.CrawlMain <jar> readdb --table /data/frontier --stats
+  * }}}
+  */
+object CrawlMain {
+
+  private def arg(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb> [--table d] [--images d] ...")
+      sys.exit(2)
+    }
+    val cmd = args.head
+    val spark = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val table = arg(args, "table").getOrElse("/tmp/graft-frontier")
+    val imagesDir = arg(args, "images")
+    val pages = arg(args, "pages").map(_.toLong).getOrElse(10000L)
+    val hosts = arg(args, "hosts").map(_.toInt).getOrElse(math.max(16, (pages / 50).toInt))
+    val depth = arg(args, "depth").map(_.toInt).getOrElse(1)
+    val round = arg(args, "round").map(_.toInt).getOrElse(1)
+    val topN = arg(args, "topn").map(_.toLong).getOrElse(0L)
+    val nSeeds = arg(args, "seeds").map(_.toInt).getOrElse(10)
+    val conf = CrawlConfig(numPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      topN = topN, storingContent = !flag(args, "no-content"))
+
+    def crawlOf(): Crawl = {
+      val images = imagesDir match {
+        case Some(d) => spark.read.parquet(d)
+        case None =>
+          val d = s"$table-images"
+          if (!new java.io.File(d, "_SUCCESS").exists())
+            ImageSynth.writeImagesTable(spark, d, pages, hosts, partitions = conf.numPartitions)
+          spark.read.parquet(d)
+      }
+      new Crawl(spark, table, images, conf, PhashOutlinks(pages, hosts, 4))
+    }
+
+    cmd match {
+      case "inject" =>
+        val seedsPath = arg(args, "seedsfile")
+        val crawl = crawlOf()
+        seedsPath match {
+          case Some(p) =>
+            import spark.implicits._
+            crawl.table.append(graft.jobs.InjectorJob
+              .injectFromFile(spark, p, conf, crawl.curTimeOf(0)).toDF(), 0, "inject")
+          case None =>
+            crawl.inject((0 until nSeeds).map(i => ImageSynth.urlOf(i.toLong, hosts)))
+        }
+      case "generate" => crawlOf().generate(round)
+      case "fetch" => crawlOf().fetchAndParse(round)
+      case "updatedb" => crawlOf().update(round)
+      case "crawl" =>
+        val stats = crawlOf().run(depth,
+          (0 until nSeeds).map(i => ImageSynth.urlOf(i.toLong, hosts)))
+        stats.foreach(s => println(
+          s"round=${s.round} generated=${s.generated} fetched=${s.fetched} gone=${s.gone} " +
+            s"redirected=${s.redirected} updated=${s.updated} new=${s.newPages}"))
+      case "readdb" =>
+        val t = new graft.table.SnapshotTable(table)
+        val pagesDf = t.currentView(spark).drop("snapshot_id")
+        if (flag(args, "stats")) {
+          ReadDbJob.stats(pagesDf).show(false)
+          ReadDbJob.statusCounts(pagesDf).show(false)
+        } else {
+          ReadDbJob.dump(pagesDf, arg(args, "regex")).show(50, truncate = false)
+        }
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

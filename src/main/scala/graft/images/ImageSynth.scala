@@ -71,28 +71,20 @@ object ImageSynth {
       ImageIO.getImageReadersByFormatName("png").next()
   }
 
-  def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-    // TYPE_3BYTE_BGR raster is a flat BGR byte buffer: bulk-copy with swap
-    val data = img.getRaster.getDataBuffer
-      .asInstanceOf[java.awt.image.DataBufferByte].getData
-    var p = 0
-    while (p < data.length) {
-      data(p) = pixels(p + 2) // B
-      data(p + 1) = pixels(p + 1) // G
-      data(p + 2) = pixels(p) // R
-      p += 3
-    }
-    val bos = new ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    val writer = pngWriter.get()
-    writer.setOutput(ios)
-    writer.write(img)
-    ios.flush()
-    bos.toByteArray
+  /** Encode raw RGB as PNG via the thread-local codec (see PngCodec for why
+    * not ImageIO). */
+  def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] =
+    PngCodec.encodeRgb(pixels, w, h)
+
+  /** Decode to raw RGB. PNGs in the engine's subset decode through the
+    * thread-local codec; anything else falls back to ImageIO. */
+  def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val fast = PngCodec.decodeRgb(bytes)
+    if (fast != null) return fast
+    decodeRgbImageIO(bytes)
   }
 
-  def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+  def decodeRgbImageIO(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     val reader = pngReader.get()
     reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes)))

@@ -206,30 +206,55 @@ object DbUpdateJob {
     spark.createDataset(sorted.mapPartitions(it => reducePartition(it, c, t, r)))
   }
 
-  /** Scale path for new-page suppression (SURVEY.md C10/D3, north_rule): at
-    * 10^10 frontier scale, "is this outlink new?" must not rescan the store.
-    * The partitioned bloom filter (built via treeAggregate over the store's
-    * keys) prefilters candidates; the few bloom-positives that are genuinely
-    * new are recovered by an exact anti-join, so false positives can never
-    * silently drop URLs.
+  /** Scale path for discovered-URL handling (SURVEY.md C10/D3, north_rule):
+    * at 10^10 frontier scale, "is this outlink new?" must not rescan the
+    * store. The partitioned bloom filter (built via treeAggregate over the
+    * store's keys) prefilters candidates; only bloom-positives join the
+    * store. False positives can never drop URLs (the join is exact), and
+    * false negatives don't exist (bloom property).
+    *
+    * Semantics upgrade over the reference: Nutch's reducer REPLACES an
+    * existing-but-not-generated row with a fresh page when an inlink
+    * arrives (same-key Gora put), losing its schedule state and score
+    * history. Here the candidate's inlinked cash MERGES into the existing
+    * row (score/cash accumulate per the OPIC update rule, distance and
+    * inlinks improve) — state-preserving. The byte-faithful behavior
+    * remains the default (filterSeenNewPages = false).
     */
-  def suppressSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
-      seen: BloomSeen, existingKeys: Dataset[String]): Dataset[WebPage] = {
+  def mergeSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
+      seen: BloomSeen, existingRows: Dataset[WebPage]): Dataset[WebPage] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val b = spark.sparkContext.broadcast(seen)
     // rows produced by the new-page branch carry no pipeline marks
     val isNew = (p: WebPage) =>
       !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT)
-    val existing = updated.filter(p => !isNew(p))
+    val fromBatch = updated.filter(p => !isNew(p))
     val candidates = updated.filter(isNew)
-    // bloom-negative => definitely new, keep without a join
+    // bloom-negative => definitely new, no join needed
     val definitelyNew = candidates.filter(p => !b.value.mightContain(p.key))
-    // bloom-positive => confirm against the store with an exact anti-join
-    val maybeSeen = candidates.filter(p => b.value.mightContain(p.key))
-    val confirmedNew = maybeSeen
-      .join(existingKeys.toDF("__seen_key"), col("key") === col("__seen_key"), "left_anti")
-      .as[WebPage]
-    existing.union(definitelyNew).union(confirmedNew)
+    // bloom-positive => join the store: merge into hits, keep misses as new
+    val maybeSeen = candidates.map(p => (p.key, p))
+    val existingKeyed = existingRows.map(p => (p.key, p))
+    val merged = maybeSeen
+      .joinWith(existingKeyed, maybeSeen("_1") === existingKeyed("_1"), "left_outer")
+      .map { case ((_, cand), old0) =>
+        if (old0 == null) cand
+        else {
+          val old = old0._2
+          // cand was built as initialScore(1.0) + updateScore(inlinked):
+          // cand.score = 1 + sum(inlink cash)
+          val inlinkCash = cand.score - 1.0f
+          val newScore = old.score + inlinkCash
+          val oldDist = old.markers.get(Marks.DISTANCE).map(_.toInt).getOrElse(Int.MaxValue)
+          val candDist = cand.markers.get(Marks.DISTANCE).map(_.toInt).getOrElse(Int.MaxValue)
+          val withDist =
+            if (candDist < oldDist) Marks.put(old, Marks.DISTANCE, candDist.toString) else old
+          withDist.copy(
+            score = newScore,
+            cash = old.cash + newScore,
+            inlinks = old.inlinks ++ cand.inlinks)
+        }
+      }
+    fromBatch.union(definitelyNew).union(merged)
   }
 }

@@ -135,29 +135,44 @@ object FetcherJob {
     }
     val scheduledDs = spark.createDataset(scheduled)
 
-    // payload attach: fetchlist (small) joins the image universe (huge) on
-    // image_id. The fetchlist side carries the shuffle-hash hint: the huge
-    // side must never be sorted or spilled — when the images table is
-    // bucketed by image_id (the production layout, see Bench), the join
-    // shuffles only the fetchlist and streams the payload side.
-    val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p)).hint("shuffle_hash")
+    // Payload attach: fetchlist (small) joins the image universe (huge) on
+    // image_id. The huge side must never be sorted or spilled: an OUTER
+    // join would force a sort-merge of the payload side (left-outer +
+    // build-left is not a shuffled-hash shape), so instead
+    //   (1) an INNER join, hash-built on the hinted fetchlist side — with
+    //       the images table bucketed by image_id (the production layout,
+    //       see Bench) only the fetchlist shuffles, the payload streams;
+    //   (2) misses (404s) come from an anti-join against the
+    //       column-pruned image_id scan — a few MB, not the payloads.
+    // Non-success rows (robots-denied, redirects, retries) bypass the join.
     val im = images.as[ImageRow]
-    withId.joinWith(im, withId("_1") === im("image_id"), "left_outer").map {
+    val pendingSuccess = scheduledDs.filter(_.status == CrawlStatus.FETCHED)
+    val others = scheduledDs.filter(_.status != CrawlStatus.FETCHED)
+
+    val withId = pendingSuccess.map(p => (UrlUtil.uuid3(p.url), p)).hint("shuffle_hash")
+    val matched = withId.joinWith(im, withId("_1") === im("image_id"), "inner").map {
       case ((_, page), img) =>
-        if (page.status != CrawlStatus.FETCHED) page
-        else if (img == null)
-          page.copy(status = CrawlStatus.GONE,
-            protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L))
-        else
-          // content always attaches here so the inline parse can decode it;
-          // when fetcher.store.content=false the parse stage strips it before
-          // the table write (reference: FetcherReducer.output:640-652)
-          page.copy(
-            content = img.bytes,
-            contentType = s"image/${img.fmt}",
-            baseUrl = page.url,
-            metadata = page.metadata + ("caption" -> img.caption))
+        // content always attaches here so the inline parse can decode it;
+        // when fetcher.store.content=false the parse stage strips it before
+        // the table write (reference: FetcherReducer.output:640-652)
+        page.copy(
+          content = img.bytes,
+          contentType = s"image/${img.fmt}",
+          baseUrl = page.url,
+          metadata = page.metadata + ("caption" -> img.caption))
     }
+
+    import org.apache.spark.sql.functions.col
+    val presentIds = images.select(col("image_id"))
+    val missing = pendingSuccess
+      .map(p => (UrlUtil.uuid3(p.url), p)).toDF("image_id", "page")
+      .hint("shuffle_hash")
+      .join(presentIds, Seq("image_id"), "left_anti")
+      .select(col("page.*")).as[WebPage]
+      .map(p => p.copy(status = CrawlStatus.GONE,
+        protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L)))
+
+    matched.union(missing).union(others)
   }
 }
 

@@ -40,4 +40,8 @@ object UrlPartitioner {
     hashCode ^= seed
     (hashCode & Int.MaxValue) % numPartitions
   }
+
+  /** Java-callable entry for codegen (graft.functions.Exprs.HostPartition). */
+  def simplePartition(url: String, numPartitions: Int, seed: Int): Int =
+    getPartition(url, numPartitions, seed)
 }

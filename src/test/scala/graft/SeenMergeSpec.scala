@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.{Crawl, CrawlConfig}
+import graft.images.ImageSynth
+import graft.model.{Marks, WebPage}
+import graft.site.MapOutlinks
+
+/** The bloom-gated discovered-URL merge (scale path): an inlink to an
+  * existing-but-not-generated page must MERGE into its row instead of
+  * replacing it with a fresh one (the reference's same-key put would reset
+  * schedule state and score history).
+  */
+class SeenMergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("existing non-generated page keeps identity and accumulates cash when linked") {
+    val a = "http://m.test/a.html"
+    val b = "http://m.test/b.html"
+    // A links to B every round; generate.max.distance=0 keeps B (dist 1)
+    // out of every fetchlist, so its row only ever receives inlink cash
+    val edges = Map(a -> Seq(b -> ""))
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 2,
+      fetcherServerDelayMs = 10, generateMaxDistance = 0, filterSeenNewPages = true)
+    val dir = SparkTestBase.tmpDir("seen-merge")
+    val images = Seq(a, b).map(u => ImageSynth.rowForUrl(u, 16, 16)).toDF()
+    val crawl = new Crawl(spark, dir, images, conf, MapOutlinks(edges))
+
+    // seed A with a high score so it stays the per-partition top-1 pick
+    crawl.inject(Seq(s"$a\tnutch.score=100"))
+    def rows: Map[String, WebPage] =
+      crawl.table.currentView(spark).drop("snapshot_id").as[WebPage]
+        .collect().groupBy(_.url).map { case (u, vs) => u -> vs.maxBy(_.fetchTime) }
+
+    crawl.generate(1); crawl.fetchAndParse(1); crawl.update(1)
+    val b1 = rows(b)
+    assert(b1.score > 1.0f) // created new with inlink cash
+    assert(b1.markers.get(Marks.DISTANCE).contains("1"))
+    val fetchTime1 = b1.fetchTime
+
+    crawl.generate(2); crawl.fetchAndParse(2); crawl.update(2)
+    val b2 = rows(b)
+    // merged, not replaced: score accumulated beyond a fresh page's
+    assert(b2.score > b1.score, s"score should accumulate: ${b1.score} -> ${b2.score}")
+    // schedule state preserved (a fresh replace would reset fetchTime to curTime(2))
+    assert(b2.fetchTime == fetchTime1, "existing schedule state must survive the merge")
+    assert(b2.inlinks.contains(a))
+    // only A was ever fetched
+    assert(rows(a).status == graft.model.CrawlStatus.FETCHED)
+    assert(b2.status == graft.model.CrawlStatus.UNFETCHED)
+  }
+}
