@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.images.{ImageSynth, PngCodec}
+import graft.seen.{BloomFilter, CuckooFilter}
+import graft.url.{BasicUrlNormalizer, RegexUrlNormalizer, UrlNormalizers, UrlUtil}
+
+/** Property tests (SURVEY.md §5 plan: normalizer idempotence, bloom
+  * no-false-negatives) plus codec roundtrips and key determinism.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private def word(min: Int, max: Int): Gen[String] = for {
+    n <- Gen.choose(min, max)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val hostGen: Gen[String] = for {
+    sub <- Gen.option(word(1, 7))
+    name <- word(1, 9)
+    tld <- Gen.oneOf("com", "org", "example", "co.uk", "io")
+  } yield sub.map(_ + ".").getOrElse("") + name + "." + tld
+
+  private val pathSegGen: Gen[String] =
+    Gen.oneOf(word(1, 7), Gen.const("."), Gen.const(".."), Gen.const(""))
+
+  private val urlGen: Gen[String] = for {
+    proto <- Gen.oneOf("http", "https", "HTTP", "Http")
+    host <- hostGen
+    port <- Gen.oneOf("", ":80", ":8080", ":443")
+    segs <- Gen.listOfN(4, pathSegGen)
+    ref <- Gen.oneOf("", "#frag", "#a?b")
+    q <- Gen.oneOf("", "?a=1", "?a=1&&b=2", "?PHPSESSID=x&k=v")
+  } yield s"$proto://$host$port/${segs.mkString("/")}$q$ref"
+
+  property("basic normalizer is idempotent") = forAll(urlGen) { url =>
+    val once = BasicUrlNormalizer.normalizeOrNull(url)
+    once == null || BasicUrlNormalizer.normalizeOrNull(once) == once
+  }
+
+  // the full chain runs basic+regex once per call, like the reference's
+  // default urlnormalizer.loop.count=1 — it must converge within a few passes
+  property("normalizer chain converges within 3 passes") = forAll(urlGen) { url =>
+    val p1 = UrlNormalizers.normalize(url)
+    if (p1 == null) true
+    else {
+      val p2 = UrlNormalizers.normalize(p1)
+      val p3 = if (p2 == null) null else UrlNormalizers.normalize(p2)
+      p3 != null && UrlNormalizers.normalize(p3) == p3
+    }
+  }
+
+  property("basic normalizer output has no /../ or /./ or // in the path") = forAll(urlGen) { url =>
+    val n = BasicUrlNormalizer.normalizeOrNull(url)
+    n == null || {
+      val file = graft.url.PUrl.parse(n).map(_.path).getOrElse("")
+      !file.contains("/../") && !file.contains("/./") && !file.contains("//")
+    }
+  }
+
+  property("regex normalizer strips session ids") = forAll(hostGen) { host =>
+    val n = RegexUrlNormalizer.normalize(s"http://$host/p?PHPSESSID=deadbeef&x=1")
+    !n.toLowerCase.contains("phpsessid")
+  }
+
+  property("uuid3 is deterministic and distinct per url") = forAll(urlGen, urlGen) { (a, b) =>
+    UrlUtil.uuid3(a) == UrlUtil.uuid3(a) && (a == b || UrlUtil.uuid3(a) != UrlUtil.uuid3(b))
+  }
+
+  property("reverseUrl roundtrips through unreverseUrl") = forAll(hostGen) { host =>
+    val url = s"http://$host:8983/a/b.html?x=1"
+    UrlUtil.unreverseUrl(UrlUtil.reverseUrl(url)) == url
+  }
+
+  property("bloom filter has no false negatives") =
+    forAll(Gen.listOf(Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString))) { keys =>
+      val bf = BloomFilter.sized(math.max(keys.size, 1), 0.01)
+      keys.foreach(bf.add)
+      keys.forall(bf.mightContain)
+    }
+
+  property("cuckoo filter: insert implies contains; remove implies eventual absence") =
+    forAll(Gen.listOfN(50, Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString))) { keys0 =>
+      val keys = keys0.distinct
+      val cf = CuckooFilter.sized(4096)
+      keys.foreach(cf.add)
+      keys.forall(cf.mightContain)
+    }
+
+  property("png codec roundtrips arbitrary pixel buffers") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 40), Gen.long) { (w, h, seed) =>
+      val pixels = ImageSynth.pixelsFor(s"http://p/$seed", w, h)
+      val (decoded, dw, dh) = PngCodec.decodeRgb(PngCodec.encodeRgb(pixels, w, h))
+      dw == w && dh == h && decoded.sameElements(pixels)
+    }
+
+  property("politeness: per-queue gaps always >= delay") =
+    forAll(Gen.listOfN(40, Gen.choose(0, 5)), Gen.choose(1L, 50L)) { (hostIdx, delay) =>
+      val items = hostIdx.zipWithIndex.map { case (hi, i) => (s"http://h$hi", i) }
+      val out = graft.jobs.PolitenessScheduler
+        .schedule[Int](items.iterator, _ => delay, _ => true).toSeq
+      out.groupBy(_.queueId).forall { case (_, fetches) =>
+        val ts = fetches.map(_.virtualTimeMs).sorted
+        ts.zip(ts.drop(1)).forall { case (a, b) => b - a >= delay }
+      } && out.size == items.size
+    }
+}
