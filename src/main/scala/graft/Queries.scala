@@ -173,6 +173,17 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** C9/B12: per-reversed-host aggregates (the hostdb shape) over urls
+    * derived from the event stream — host reversal expressed as
+    * split/reverse/join so DuckDB computes the identical key. */
+  private def qHostdbAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("host", concat(lit("u"), col("user_id") % 20, lit(".example.com")))
+      .withColumn("rhost", concat_ws(".", reverse(split(col("host"), "\\."))))
+      .groupBy(col("rhost"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
+      .orderBy(col("rhost"))
+
   // ------------------------------------------------------------- time windows
 
   /** G-analogue: tumbling hour windows over the event stream (batch form). */
@@ -353,6 +364,7 @@ object Queries {
     "q_dim_join" -> (qDimJoin _),
     "q_union_cogroup" -> (qUnionCogroup _),
     "q_bloom_seen" -> (qBloomSeen _),
+    "q_hostdb_agg" -> (qHostdbAgg _),
     "q_window_events" -> (qWindowEvents _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -434,6 +446,11 @@ object Queries {
       """SELECT count(*) AS cnt FROM (
            SELECT DISTINCT o_custkey FROM orders
            WHERE o_custkey IN (SELECT c_custkey FROM customer))""",
+    "q_hostdb_agg" ->
+      """SELECT array_to_string(list_reverse(string_split(
+                  'u' || (user_id % 20) || '.example.com', '.')), '.') AS rhost,
+                count(*) AS cnt, round(sum(value),3) AS sum_value
+         FROM events GROUP BY rhost ORDER BY rhost""",
     "q_window_events" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
                 event_type, count(*) AS cnt, round(sum(value),3) AS sum_value

@@ -28,11 +28,14 @@ import graft.url.{RegexUrlFilter, UrlNormalizers, UrlPartitioner, UrlUtil}
 object GeneratorJob {
 
   /** Shuffle key: sorts within a partition by score desc then url asc
-    * (SelectorEntry.compareTo ties, GeneratorJob.java:105-114). */
-  case class SelKey(partition: Int, score: Float, url: String)
+    * (SelectorEntry.compareTo ties, GeneratorJob.java:105-114), then
+    * fetchTime desc — so among equal-score versions of one url the LATEST
+    * version is deterministically the one generated (the reference leaves
+    * this to reducer iteration order; we pin it, SURVEY.md §7.5 risk 1). */
+  case class SelKey(partition: Int, score: Float, url: String, fetchTime: Long)
 
   implicit val selKeyOrdering: Ordering[SelKey] =
-    Ordering.by((k: SelKey) => (k.partition, -k.score, k.url))
+    Ordering.by((k: SelKey) => (k.partition, -k.score, k.url, -k.fetchTime))
 
   private final class PidPartitioner(n: Int) extends Partitioner {
     override def numPartitions: Int = n
@@ -121,7 +124,7 @@ object GeneratorJob {
           val v = UrlNormalizers.normalize(u, UrlNormalizers.ScopePartition)
           if (v == null) u else v
         })
-      (SelKey(pid, page.score, selUrl), (selUrl, page))
+      (SelKey(pid, page.score, selUrl, page.fetchTime), (selUrl, page))
     }
     val sorted = keyed.repartitionAndSortWithinPartitions(new PidPartitioner(n))
     val out = sorted.mapPartitionsWithIndex { (idx, it) =>

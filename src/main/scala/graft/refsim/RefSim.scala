@@ -83,7 +83,7 @@ final class RefSim(
         })
     }
     val out = byPid.toSeq.sortBy(_._1).flatMap { case (pid, rows) =>
-      val sorted = rows.sortBy { case (selUrl, page) => (-page.score, selUrl) }
+      val sorted = rows.sortBy { case (selUrl, page) => (-page.score, selUrl, -page.fetchTime) }
       GeneratorJob.reducePartition(pid, sorted.iterator, conf, batchIdOf(round), round).toSeq
     }
     out.foreach(upsert)
