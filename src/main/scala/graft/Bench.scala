@@ -122,7 +122,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // sized so per-round parallel work dominates fixed per-job costs; the
     // scaling efficiency rises with pages (Amdahl) — see BASELINE.md
-    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
+    val pages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1200000").toLong
     val imgSide = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMG", "64").toInt
     val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
     val hosts = math.max(16, (pages / 50).toInt)

@@ -15,10 +15,6 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** 60-bit integer hash both engines can compute identically:
-    * Spark conv(substr(md5(x),1,10),16,10); DuckDB ('0x'||substr(md5(x),1,10))::BIGINT. */
-  private def hash40(c: Column): Column =
-    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
 
   // ---------------------------------------------------------------- scans/aggs
 
@@ -199,149 +195,60 @@ object Queries {
 
   /** Exact dedup by content hash (hash-groupBy dedup). */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").groupBy(col("source"))
-      .agg(count(lit(1)).as("cnt"),
-        countDistinct(md5(col("text"))).as("n_unique"))
-      .orderBy(col("source"))
-
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
-      .select(col("doc_id"), expr(
-        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END")
-        .as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("shingle"))
-      .where(col("shingle") =!= "")
-      .distinct()
+    graft.ops.Dedup.exactStats(t(s, dir, "documents"), "text", "source")
 
   /** N-gram Jaccard near-dup pairs (shingle -> inverted index -> pair join). */
-  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("da"), col("shingle"))
-    val b = sh.select(col("doc_id").as("db"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).where(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
-      .where(col("jaccard") >= 0.1)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
-  }
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.1)
 
   /** MinHash + LSH banding: shingle -> k minhashes -> band buckets ->
     * candidate pair join (the scalable near-dup path). */
-  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1
-    // multipliers < 2^20 so a*x stays below 2^62 for 40-bit x (DuckDB errors
-    // on BIGINT overflow; Spark would silently wrap)
-    val as = Seq(387421L, 921043L, 450157L, 700417L, 104729L, 999983L)
-    val bs = Seq(12289L, 786433L, 196613L, 402653L, 161051L, 69857L)
-    val sh = shingles(s, dir).withColumn("x", hash40(col("shingle")))
-    val mhCols = (0 until 6).map(i =>
-      min((col("x") * as(i) + bs(i)) % p).as(s"mh$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    // 3 bands of 2 rows each
-    val bands = (0 until 3).map { bi =>
-      mh.select(col("doc_id"), lit(bi).as("band"),
-        concat_ws("_", col(s"mh${2 * bi}"), col(s"mh${2 * bi + 1}")).as("sig"))
-    }.reduce(_ union _)
-    val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
-    val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
-    l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
-      .orderBy(col("da"), col("db"))
-  }
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
 
   /** SimHash (16-bit) document fingerprints from token hashes. */
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .where(col("doc_id") < 100)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
-      .where(col("w") =!= "")
-      .withColumn("x", hash40(col("w")))
-    toks
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("signed", expr("(shiftright(x, cast(b AS int)) & 1) * 2 - 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("signed")).as("bitsum"))
-      .withColumn("bitval", when(col("bitsum") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bitval, cast(b AS int))")).as("simhash"))
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhash(
+      t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprint: stable 60-bit content hash (rolling-hash family). */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 100)
-      .select(col("doc_id"),
-        conv(substring(md5(lower(col("text"))), 1, 15), 16, 10).cast("long").as("fp"))
+      .select(col("doc_id"), graft.ops.Dedup.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   /** Language/quality scoring: token counts, stopword ratio, char stats. */
-  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .withColumn("ws", split(lower(col("text")), "\\s+"))
-      .withColumn("n_tokens", size(col("ws")))
-      .withColumn("n_stop", size(filter(col("ws"), w => w === "the" || w === "a")))
-    toks.groupBy(col("lang"))
-      .agg(count(lit(1)).as("cnt"),
-        round(avg(col("n_tokens")), 4).as("avg_tokens"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
-        round(avg(col("n_stop").cast("double") / col("n_tokens")), 4).as("stop_ratio"))
-      .orderBy(col("lang"))
-  }
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.qualityByLang(t(s, dir, "documents"), "text", "lang", "n_chars")
 
   /** Token counting per source (BPE-ish whitespace tokenizer). */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("n", size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
+      .withColumn("n", graft.ops.TextAnalysis.tokenCount(col("text")))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
   // ------------------------------------------------------- similarity search
 
-  private def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / sqrt(na * nb)
-  }
-
   /** Brute-force cosine top-k neighbors for probe vectors (the ANN baseline). */
   private def qEmbedCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val probes = emb.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val joined = probes.crossJoin(emb.where(col("vec_id") >= 5))
-      .withColumn("sim", round(cosineSim(col("qe"), col("e")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    graft.ops.Similarity.cosineTopK(
+      emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5)
   }
 
   /** LSH-bucketed ANN: sign bits of the first 4 dims bucket the space; probes
     * only scan their own bucket (the scale path vs brute force). */
   private def qEmbedLshAnn(s: SparkSession, dir: String): DataFrame = {
-    def bucketOf(e: Column): Column =
-      (0 until 4).map(i => when(element_at(e, i + 1) > 0, 1 << i).otherwise(0))
-        .reduce(_ + _)
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("bucket", bucketOf(col("e")))
-    val probes = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
-    val joined = probes.join(emb.where(col("vec_id") >= 10), Seq("bucket"))
-      .withColumn("sim", round(cosineSim(col("qe"), col("e")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("qid"), col("bucket"), col("vec_id").as("neighbor"), col("sim"))
+    graft.ops.Similarity.lshNearest(
+      emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", nBits = 4, k = 1)
+      .select(col("qid"), col("bucket"), col("neighbor"), col("sim"))
       .orderBy(col("qid"))
   }
 

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, as composable
+  * DataFrame transformations. All hashing is md5-derived integer math so
+  * results are engine-portable (the DuckDB oracles compute the identical
+  * values), and every operator is a pure one-or-two-shuffle plan that
+  * scales: shingling explodes narrow columns only, inverted-index joins
+  * carry (id, shingle/band) pairs, never documents.
+  */
+object Dedup {
+
+  /** 60-bit integer hash both engines compute identically. */
+  def hash40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
+  /** Exact-duplicate groups by content hash: (source groupings with distinct
+    * counts). For row-level dedup use `dropDuplicates(md5(text))` upstream. */
+  def exactStats(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"), countDistinct(md5(col(textCol))).as("n_unique"))
+      .orderBy(col(groupCol))
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("ws"))
+      .select(col(idCol), expr(
+        s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws)-$n), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(k => s"ws[i+$k]").mkString(", ")})) " +
+          "ELSE array() END").as("shs"))
+      .select(col(idCol), explode(col("shs")).as("shingle"))
+      .where(col("shingle") =!= "")
+      .distinct()
+
+  /** N-gram Jaccard near-duplicate pairs above a threshold, via an inverted
+    * shingle index (shingle -> docs) and a pair join. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("da"), col("shingle"))
+    val b = sh.select(col(idCol).as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col(idCol).as("db"), col("sz").as("sb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  // multipliers < 2^20 so a*x stays below 2^62 for 40-bit x (no int64
+  // overflow in any engine)
+  private val MinhashA = Seq(387421L, 921043L, 450157L, 700417L, 104729L, 999983L)
+  private val MinhashB = Seq(12289L, 786433L, 196613L, 402653L, 161051L, 69857L)
+
+  /** k MinHash signatures per document over its shingle set. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, n: Int = 3): DataFrame = {
+    require(k <= MinhashA.length, s"up to ${MinhashA.length} hash functions supported")
+    val sh = shingles(docs, idCol, textCol, n).withColumn("x", hash40(col("shingle")))
+    val mhCols = (0 until k).map(i =>
+      min((col("x") * MinhashA(i) + MinhashB(i)) % MinhashPrime).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** MinHash + LSH banding candidate pairs: documents sharing any band
+    * signature. bands * rowsPerBand must equal k. */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 3, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val mh = minhashSignatures(docs, idCol, textCol, k, n)
+    val bandDfs = (0 until bands).map { bi =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"mh${bi * rowsPerBand + r}"))
+      mh.select(col(idCol), lit(bi).as("band"), concat_ws("_", sigCols: _*).as("sig"))
+    }
+    val all = bandDfs.reduce(_ union _)
+    val l = all.select(col("band"), col("sig"), col(idCol).as("da"))
+    val r = all.select(col("band"), col("sig"), col(idCol).as("db"))
+    l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash fingerprints (bits-wide) from token hashes: near-duplicates
+    * land on nearby fingerprints (compare by hamming distance downstream). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("x", hash40(col("w")))
+      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("signed", expr("(shiftright(x, cast(b AS int)) & 1) * 2 - 1"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("signed")).as("bitsum"))
+      .withColumn("bitval", when(col("bitsum") > 0, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(expr("shiftleft(bitval, cast(b AS int))")).as("simhash"))
+
+  /** Stable 60-bit content fingerprint (rolling-hash family). */
+  def fingerprint(textCol: Column): Column =
+    conv(substring(md5(lower(textCol)), 1, 15), 16, 10).cast("long")
+}
