@@ -10,6 +10,14 @@ final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializa
   require(numBits > 0 && numHashes > 0)
   private val words = new Array[Long](((numBits + 63) / 64).toInt)
 
+  /** Compact wire format: numBits, numHashes, words. */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + words.length * 8)
+    bb.putLong(numBits).putInt(numHashes)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -51,6 +59,16 @@ final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializa
 }
 
 object BloomFilter {
+  def fromBytes(bytes: Array[Byte]): BloomFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = bb.getLong
+    val hashes = bb.getInt
+    val bf = new BloomFilter(bits, hashes)
+    var i = 0
+    while (bb.remaining() >= 8) { bf.words(i) = bb.getLong; i += 1 }
+    bf
+  }
+
   /** Size a filter for n items at the target false-positive rate. */
   def sized(expectedItems: Long, fpp: Double): BloomFilter = {
     val n = math.max(expectedItems, 1L)

@@ -31,4 +31,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byUrl("not a url")._2 == null && byUrl("not a url")._3 == null)
     assert(byUrl("not a url")._1 == UrlUtil.uuid3("not a url"))
   }
+
+  test("graft_bloom: Catalyst TypedImperativeAggregate builds a mergeable filter") {
+    import spark.implicits._
+    val keys = (0 until 5000).map(i => s"key-$i")
+    val df = keys.toDF("k").repartition(8)
+    val bf = graft.functions.BloomAgg.buildFilter(df, "k", expectedItems = 5000)
+    assert(keys.forall(bf.mightContain), "no false negatives across partial-merge boundaries")
+    val fps = (5000 until 10000).count(i => bf.mightContain(s"key-$i"))
+    assert(fps < 250, s"fpp too high: $fps/5000")
+    // grouped build: one filter per bucket via a plain groupBy
+    graft.functions.BloomAgg.register(spark)
+    val grouped = df.selectExpr("k", "length(k) % 3 AS b")
+      .groupBy("b").agg(org.apache.spark.sql.functions.expr("graft_bloom(k, 2000, 0.01)").as("bloom"))
+      .collect()
+    assert(grouped.length == 3)
+    grouped.foreach { r =>
+      assert(graft.seen.BloomFilter.fromBytes(r.getAs[Array[Byte]]("bloom")).approxBitsSet > 0)
+    }
+  }
 }
