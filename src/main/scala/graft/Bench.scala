@@ -12,6 +12,9 @@ object Bench {
 
   private val shuffleDir: String = {
     val d = new java.io.File("/dev/shm/graft-shuffle")
+    // crash leftovers from earlier runs would accumulate in tmpfs across
+    // bench rounds; one bench runs at a time, so clean at start
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
     d.mkdirs()
     d.toString
   }
