@@ -343,7 +343,8 @@ object Queries {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "q_union_cogroup" ->
-      """SELECT k, sum(is_order) AS n_orders, sum(is_line) AS n_lines FROM (
+      """SELECT k, CAST(sum(is_order) AS BIGINT) AS n_orders,
+                CAST(sum(is_line) AS BIGINT) AS n_lines FROM (
            SELECT o_custkey AS k, 1 AS is_order, 0 AS is_line FROM orders
            UNION ALL
            SELECT o_custkey AS k, 0 AS is_order, 1 AS is_line
@@ -419,7 +420,7 @@ object Queries {
            SELECT doc_id, b, sum(((x >> b) & 1) * 2 - 1) AS bitsum
            FROM hx, unnest(range(0,16)) AS t(b) GROUP BY 1, 2
          )
-         SELECT doc_id, sum((CASE WHEN bitsum > 0 THEN 1 ELSE 0 END)::BIGINT << b) AS simhash
+         SELECT doc_id, CAST(sum((CASE WHEN bitsum > 0 THEN 1 ELSE 0 END)::BIGINT << b) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id, ('0x' || substr(md5(lower(text)),1,15))::BIGINT AS fp
@@ -434,7 +435,7 @@ object Queries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_token_count" ->
       """SELECT source,
-                sum(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> ''))) AS total_tokens,
+                CAST(sum(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> ''))) AS BIGINT) AS total_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY source ORDER BY source""",
     "q_embed_cosine_topk" ->

@@ -221,8 +221,21 @@ object DbUpdateJob {
     * inlinks improve) — state-preserving. The byte-faithful behavior
     * remains the default (filterSeenNewPages = false).
     */
+  /** Counters for the bloom-gated merge, exposed so callers (and tests) can
+    * observe that the store join saw only the bloom-positive slice. */
+  final case class SeenMergeMetrics(
+      candidates: org.apache.spark.util.LongAccumulator,
+      bloomPositives: org.apache.spark.util.LongAccumulator)
+
+  object SeenMergeMetrics {
+    def apply(spark: SparkSession): SeenMergeMetrics = SeenMergeMetrics(
+      spark.sparkContext.longAccumulator("seenMerge.candidates"),
+      spark.sparkContext.longAccumulator("seenMerge.bloomPositives"))
+  }
+
   def mergeSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
-      seen: BloomSeen, existingRows: Dataset[WebPage]): Dataset[WebPage] = {
+      seen: BloomSeen, existingRows: Dataset[WebPage],
+      metrics: Option[SeenMergeMetrics] = None): Dataset[WebPage] = {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(seen)
     // rows produced by the new-page branch carry no pipeline marks
@@ -232,8 +245,19 @@ object DbUpdateJob {
     val candidates = updated.filter(isNew)
     // bloom-negative => definitely new, no join needed
     val definitelyNew = candidates.filter(p => !b.value.mightContain(p.key))
-    // bloom-positive => join the store: merge into hits, keep misses as new
-    val maybeSeen = candidates.map(p => (p.key, p))
+    // bloom-positive ONLY => join the store: merge into hits, keep misses
+    // (bloom false positives) as new. Joining all candidates would both
+    // duplicate the bloom-negatives (they'd flow through definitelyNew AND
+    // the null branch below) and defeat the prefilter's point: at 10^10
+    // keys the store join must see only the ~fpp fraction of candidates.
+    val maybeSeen = candidates
+      .filter { p =>
+        metrics.foreach(_.candidates.add(1))
+        val hit = b.value.mightContain(p.key)
+        if (hit) metrics.foreach(_.bloomPositives.add(1))
+        hit
+      }
+      .map(p => (p.key, p))
     val existingKeyed = existingRows.map(p => (p.key, p))
     val merged = maybeSeen
       .joinWith(existingKeyed, maybeSeen("_1") === existingKeyed("_1"), "left_outer")

@@ -2,32 +2,30 @@ package graft.seen
 
 import org.apache.spark.rdd.RDD
 
-/** Simple serializable Bloom filter over 64-bit key hashes.
-  * k hash probes derived from one 128-bit base hash (Kirsch–Mitzenmacher
-  * double hashing), bits in a long array.
+/** Simple serializable Bloom filter over string keys.
+  * k hash probes derived from one 128-bit Murmur3 base hash of the key
+  * bytes (Kirsch–Mitzenmacher double hashing: bit_i = h1 + i*h2), bits in
+  * a long array. The 128-bit base matters: deriving all probes from a
+  * 32-bit hash caps the achievable FPP at the base hash's collision rate
+  * (~2 colliding pairs per cell at 10^10 keys), regardless of filter size.
   */
 final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializable {
   require(numBits > 0 && numHashes > 0)
   private val words = new Array[Long](((numBits + 63) / 64).toInt)
 
-  /** Compact wire format: numBits, numHashes, words. */
+  /** Versioned wire format: magic+version, numBits, numHashes, words. */
   def toBytes: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(12 + words.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(4 + 12 + words.length * 8)
+    bb.putInt(BloomFilter.FormatV2)
     bb.putLong(numBits).putInt(numHashes)
     words.foreach(bb.putLong)
     bb.array()
   }
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   def add(key: String): Unit = {
-    val h1 = mix64(key.hashCode.toLong ^ (key.length.toLong << 32))
-    val h2 = mix64(h1) | 1L
+    val h = Murmur3x64.hash128(key)
+    val h1 = h(0)
+    val h2 = h(1) | 1L
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
@@ -37,8 +35,9 @@ final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializa
   }
 
   def mightContain(key: String): Boolean = {
-    val h1 = mix64(key.hashCode.toLong ^ (key.length.toLong << 32))
-    val h2 = mix64(h1) | 1L
+    val h = Murmur3x64.hash128(key)
+    val h1 = h(0)
+    val h2 = h(1) | 1L
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
@@ -59,8 +58,13 @@ final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializa
 }
 
 object BloomFilter {
+  /** 'GBF' tag + format version (v2 = murmur3-128 base hash). */
+  val FormatV2: Int = 0x47424602
+
   def fromBytes(bytes: Array[Byte]): BloomFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val version = bb.getInt
+    require(version == FormatV2, s"unknown bloom wire format: $version")
     val bits = bb.getLong
     val hashes = bb.getInt
     val bf = new BloomFilter(bits, hashes)

@@ -25,14 +25,13 @@ final class CuckooFilter(val numBuckets: Int, val maxKicks: Int = 500)
     z ^ (z >>> 31)
   }
 
-  private def fingerprint(key: String): Short = {
-    val h = mix64(key.hashCode.toLong * 31 + key.length)
-    val f = ((h >>> 48) & 0xffff).toInt
+  /** Bucket from h1, fingerprint from h2 — independent halves of one
+    * 128-bit Murmur3 base hash (a 32-bit base hash would floor the FPP at
+    * the base collision rate at 10^10 keys; see BloomFilter). */
+  private def fingerprintOf(h2: Long): Short = {
+    val f = ((h2 >>> 48) & 0xffff).toInt
     (if (f == 0) 1 else f).toShort
   }
-
-  private def bucketOf(key: String): Int =
-    (mix64(key.hashCode.toLong) & (numBuckets - 1)).toInt
 
   private def altBucket(b: Int, f: Short): Int =
     (b ^ (mix64(f.toLong & 0xffffL) & (numBuckets - 1)).toInt) & (numBuckets - 1)
@@ -72,8 +71,10 @@ final class CuckooFilter(val numBuckets: Int, val maxKicks: Int = 500)
   }
 
   /** Insert; false if the filter is too full (caller should resize). */
-  def add(key: String): Boolean =
-    insertFingerprint(bucketOf(key), fingerprint(key))
+  def add(key: String): Boolean = {
+    val h = Murmur3x64.hash128(key)
+    insertFingerprint((h(0) & (numBuckets - 1)).toInt, fingerprintOf(h(1)))
+  }
 
   private def removeFrom(b: Int, f: Short): Boolean = {
     val base = slotBase(b)
@@ -86,14 +87,16 @@ final class CuckooFilter(val numBuckets: Int, val maxKicks: Int = 500)
   }
 
   def remove(key: String): Boolean = {
-    val f = fingerprint(key)
-    val b1 = bucketOf(key)
+    val h = Murmur3x64.hash128(key)
+    val f = fingerprintOf(h(1))
+    val b1 = (h(0) & (numBuckets - 1)).toInt
     removeFrom(b1, f) || removeFrom(altBucket(b1, f), f)
   }
 
   def mightContain(key: String): Boolean = {
-    val f = fingerprint(key)
-    val b1 = bucketOf(key)
+    val h = Murmur3x64.hash128(key)
+    val f = fingerprintOf(h(1))
+    val b1 = (h(0) & (numBuckets - 1)).toInt
     val base1 = slotBase(b1)
     var s = 0
     while (s < SlotsPerBucket) {

@@ -35,6 +35,16 @@ class SeenMergeSpec extends AnyFunSuite {
         .collect().groupBy(_.url).map { case (u, vs) => u -> vs.maxBy(_.fetchTime) }
 
     crawl.generate(1); crawl.fetchAndParse(1); crawl.update(1)
+
+    // the raw update-stage delta (not the deduping currentView) must emit
+    // each key exactly once — a bloom-negative new page must not flow
+    // through both the definitely-new branch and the store join
+    val sid1 = crawl.table.snapshotFor(1, "update").get
+    val deltaKeys = crawl.table.readSnapshot(spark, sid1)
+      .drop("snapshot_id").as[WebPage].collect().map(_.key).toSeq
+    assert(deltaKeys.length == deltaKeys.distinct.length,
+      s"duplicate keys in update delta: ${deltaKeys.diff(deltaKeys.distinct)}")
+
     val b1 = rows(b)
     assert(b1.score > 1.0f) // created new with inlink cash
     assert(b1.markers.get(Marks.DISTANCE).contains("1"))
@@ -50,5 +60,43 @@ class SeenMergeSpec extends AnyFunSuite {
     // only A was ever fetched
     assert(rows(a).status == graft.model.CrawlStatus.FETCHED)
     assert(b2.status == graft.model.CrawlStatus.UNFETCHED)
+  }
+
+  test("store join sees only the bloom-positive candidate slice, once each") {
+    import graft.jobs.DbUpdateJob
+    import graft.seen.BloomSeen
+    val existing = (1 to 5).map(i =>
+      WebPage(key = s"k$i", url = s"http://h.test/e$i", score = 2.0f, cash = 1.0f))
+    val seen = BloomSeen.empty(numParts = 4, expectedItems = 1000, fpp = 0.01)
+    existing.foreach(p => seen.add(p.key))
+    // candidates: 3 keys already in the store + 50 brand-new ones
+    val candSeen = (1 to 3).map(i =>
+      WebPage(key = s"k$i", url = s"http://h.test/e$i", score = 1.5f))
+    val candNew = (1 to 50).map(i =>
+      WebPage(key = s"n$i", url = s"http://h.test/n$i", score = 1.5f))
+    val batch = Seq(WebPage(key = "g1", url = "http://h.test/g1",
+      markers = Map(Marks.GENERATE -> "b-1")))
+    val updated = spark.createDataset(batch ++ candSeen ++ candNew)
+    val metrics = DbUpdateJob.SeenMergeMetrics(spark)
+    val out = DbUpdateJob.mergeSeenNewPages(spark, updated, seen,
+      spark.createDataset(existing), Some(metrics)).collect()
+
+    // exactly one output row per input key, nothing lost, nothing doubled
+    val keys = out.map(_.key).toSeq
+    assert(keys.length == keys.distinct.length,
+      s"duplicated keys: ${keys.diff(keys.distinct)}")
+    assert(keys.sorted == (batch ++ candSeen ++ candNew).map(_.key).sorted)
+
+    // the store join's input was exactly the bloom-positive slice
+    val expectedPositives = (candSeen ++ candNew).count(p => seen.mightContain(p.key))
+    assert(metrics.candidates.value == (candSeen.size + candNew.size).toLong)
+    assert(metrics.bloomPositives.value == expectedPositives.toLong)
+    // sanity: the prefilter actually filtered (some negatives existed)
+    assert(expectedPositives < candSeen.size + candNew.size)
+
+    // a bloom-positive store hit merged state-preservingly
+    val m = out.find(_.key == "k1").get
+    assert(math.abs(m.score - 2.5f) < 1e-6, s"score merged wrong: ${m.score}")
+    assert(m.cash > 1.0f)
   }
 }

@@ -33,6 +33,43 @@ class SeenSpec extends AnyFunSuite {
     assert(fps < 250, s"fpp too high: $fps/5000")
   }
 
+  test("empirical FPP matches the configured FPP at 10^7 keys (128-bit base hash)") {
+    // With a 32-bit base hash this test fails: colliding (hashCode, length)
+    // pairs floor the FPP well above the configured rate long before 10^7
+    // keys. The murmur3-128 base keeps measured FPP ≈ configured FPP, which
+    // is what makes the sizing math real at the north-rule's 10^10 scale.
+    val n = 10_000_000
+    val fpp = 0.01
+    val bf = BloomFilter.sized(n, fpp)
+    var i = 0
+    while (i < n) { bf.add(s"http://h${i % 9973}.example/p/$i"); i += 1 }
+    val probes = 1_000_000
+    var fps = 0
+    i = 0
+    while (i < probes) {
+      if (bf.mightContain(s"http://absent-$i.example/q/$i")) fps += 1
+      i += 1
+    }
+    val measured = fps.toDouble / probes
+    assert(measured < fpp * 1.5,
+      f"measured FPP $measured%.5f vs configured $fpp (floor from base-hash collisions?)")
+    assert(measured > fpp * 0.3, f"measured FPP $measured%.5f suspiciously low — probe bug?")
+  }
+
+  test("murmur3 x64-128 matches reference vectors") {
+    // Golden values from the canonical MurmurHash3.cpp x64_128 variant.
+    def hex(s: String, seed: Long = 0): (Long, Long) = {
+      val h = graft.seen.Murmur3x64.hash128(s, seed)
+      (h(0), h(1))
+    }
+    // empty string, seed 0
+    assert(hex("") == (0L, 0L))
+    // well-known vectors
+    assert(hex("a") == (0x85555565f6597889L, 0xe6b53a48510e895aL))
+    assert(hex("abc") == (0xb4963f3f3fad7867L, 0x3ba2744126ca2d52L))
+    assert(hex("Hello, world!") == (0xf1512dd1d2d665dfL, 0x2c326650a8f3c564L))
+  }
+
   test("cuckoo filter: insert, lookup, delete") {
     val cf = CuckooFilter.sized(10000)
     val keys = (0 until 8000).map(i => s"url-$i")
