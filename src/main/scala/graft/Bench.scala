@@ -138,9 +138,17 @@ object Bench {
 
     // ---- phase A: headline operator queries on the shared testdata
     var spark = session(cpus)
+    // JVM/codegen warmup so the first timed query doesn't absorb one-off
+    // whole-stage-codegen + JIT costs (round 1 charged ~4s of warmup to
+    // q_scan_filter_agg); untimed
+    run(Queries.all("q_scan_filter_agg")(spark, sfDir))
+    run(Queries.all("q_update_merge")(spark, sfDir))
     val qTimes = headline.flatMap { name =>
       Queries.all.get(name).map { fn =>
         val (_, secs) = time(run(fn(spark, sfDir)))
+        // drop intermediates persisted inside operators (dedup pipelines)
+        // so queries don't inherit each other's cached state
+        spark.catalog.clearCache()
         name -> secs
       }
     }
@@ -230,6 +238,13 @@ object Bench {
     val scalingJson =
       if (scaling.isEmpty) ""
       else "," + s""""scaling":${scaling.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$crawlJson$scalingJson}""")
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$crawlJson$scalingJson}"""
+    println(json)
+    // also land the JSON in a file so consumers never have to scrape a
+    // build tool's interleaved stdout
+    val outFile = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
   }
 }

@@ -374,10 +374,13 @@ object Queries {
            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
            FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
            WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
-         ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         ), dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                 JOIN dfs USING (shingle) WHERE df <= 500),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT da, db, jaccard FROM (
            SELECT da, db, round(inter*1.0/(sa.sz + sb.sz - inter), 4) AS jaccard
@@ -406,9 +409,12 @@ object Queries {
            UNION ALL
            SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh
            UNION ALL
-           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh)
+           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh
+         ), bcnt AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
+         capped AS (SELECT bands.doc_id, bands.band, bands.sig FROM bands
+                    JOIN bcnt USING (band, sig) WHERE bsz <= 1000)
          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          ORDER BY da, db""",
     "q_dedup_simhash" ->
       """WITH toks AS (
