@@ -219,6 +219,22 @@ object Queries {
       .select(col("doc_id"), graft.ops.Dedup.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** B18: regex outlink extraction over plain text. documents.text carries
+    * no URLs, so the payload embeds deterministic ones built from existing
+    * columns — both engines extract from identical strings. Bare
+    * "www.plain.org" must NOT match (scheme required, per the reference's
+    * extractor semantics). */
+  private def qOutlinkExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("payload", concat(
+        lit("see "), col("text"),
+        lit(" http://h"), col("doc_id") % 20, lit(".example.com/p/"),
+        col("doc_id"), lit(".html then www.plain.org and ftp://mirror"),
+        col("doc_id") % 7, lit(".example.net/data")))
+      .select(explode(graft.url.OutlinkExtractor.extractAll(col("payload"))).as("url"))
+      .groupBy(col("url")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("url"))
+
   /** Language/quality scoring: token counts, stopword ratio, char stats. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.qualityByLang(t(s, dir, "documents"), "text", "lang", "n_chars")
@@ -278,6 +294,7 @@ object Queries {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_outlink_extract" -> (qOutlinkExtract _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -431,6 +448,16 @@ object Queries {
     "q_fingerprint" ->
       """SELECT doc_id, ('0x' || substr(md5(lower(text)),1,15))::BIGINT AS fp
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_outlink_extract" ->
+      ("""WITH payloads AS (
+           SELECT 'see ' || text || ' http://h' || (doc_id % 20) || '.example.com/p/' ||
+                  doc_id || '.html then www.plain.org and ftp://mirror' || (doc_id % 7) ||
+                  '.example.net/data' AS payload
+           FROM documents
+         ), u AS (SELECT unnest(regexp_extract_all(payload, '""" +
+        graft.url.OutlinkExtractor.UrlPattern +
+        """')) AS url FROM payloads)
+         SELECT url, count(*) AS cnt FROM u GROUP BY url ORDER BY url"""),
     "q_text_quality" ->
       """SELECT lang, count(*) AS cnt,
                 round(avg(len(regexp_split_to_array(lower(text),'\s+'))), 4) AS avg_tokens,

@@ -74,12 +74,24 @@ object DbUpdateJob {
         distance = sd.distance))
   }
 
+  /** Per-partition budget for new-page creation — the reference's
+    * `db.update.max.newpages` per-reducer cap (DbUpdateReducer.java:102-106;
+    * the intent is a per-reducer ceiling on frontier growth so a link-farm
+    * host cannot explode the store in one update). max = 0 means unlimited. */
+  final class NewPageBudget(val max: Long) extends Serializable {
+    private var used = 0L
+    def tryAcquire(): Boolean =
+      if (max != 0 && used >= max) false else { used += 1; true }
+  }
+
   /** Reduce side for one url group, fed in (score desc) order
     * (DbUpdateReducer.reduce). Pure, shared with refsim. Returns None when
-    * additions are disallowed and the url is new. May leave the iterator
-    * partially consumed (the reference breaks at the inlink cap). */
+    * additions are disallowed (or the new-page budget is exhausted) and the
+    * url is new. May leave the iterator partially consumed (the reference
+    * breaks at the inlink cap). */
   def reduceUrl(url: String, msgs: Iterator[UpdateMsg], conf: CrawlConfig,
-      curTime: Long, round: Int): Option[WebPage] = {
+      curTime: Long, round: Int,
+      newPages: NewPageBudget = new NewPageBudget(0)): Option[WebPage] = {
     val schedule = FetchSchedule(conf)
     val opic = OpicScoring(conf)
 
@@ -103,6 +115,7 @@ object DbUpdateJob {
 
     if (page == null) {
       if (!conf.additionsAllowed) return None
+      if (!newPages.tryAcquire()) return None
       var p = WebPage(url = url, key = UrlUtil.uuid3(url), status = CrawlStatus.UNFETCHED)
       p = schedule.initializeSchedule(p, curTime)
       p = opic.initialScore(p)
@@ -175,6 +188,7 @@ object DbUpdateJob {
   private def reducePartition(it: Iterator[(UpdKey, UpdateMsg)], conf: CrawlConfig,
       curTime: Long, round: Int): Iterator[WebPage] = {
     val b = it.buffered
+    val newPages = new NewPageBudget(conf.maxNewPages)
     new Iterator[Option[WebPage]] {
       override def hasNext: Boolean = b.hasNext
       override def next(): Option[WebPage] = {
@@ -183,7 +197,7 @@ object DbUpdateJob {
           override def hasNext: Boolean = b.hasNext && b.head._1.url == url
           override def next(): UpdateMsg = b.next()._2
         }
-        val res = reduceUrl(url, group, conf, curTime, round)
+        val res = reduceUrl(url, group, conf, curTime, round, newPages)
         while (group.hasNext) group.next() // drain past the inlink cap
         res
       }

@@ -45,7 +45,7 @@ object ParserJob {
     val text = page.metadata.getOrElse("caption", "")
     val title = page.url
 
-    val raw = source.outlinks(page.url, phash)
+    val raw = source.outlinksFromText(page.url, phash, text)
     val fromHost =
       if (conf.ignoreExternalLinks) UrlUtil.getHost(page.url).toLowerCase else null
     var outlinks = Map.empty[String, String]

@@ -146,12 +146,14 @@ final class RefSim(
     val batch = state.values.toSeq.filter(_.markers.get(Marks.GENERATE).contains(batchId))
     val msgs = batch.flatMap(p => DbUpdateJob.mapPage(p, opic))
     val byUrl = msgs.groupBy(_.url)
+    // one simulated reducer => one shared new-page budget
+    val newPages = new DbUpdateJob.NewPageBudget(conf.maxNewPages)
     val out = byUrl.toSeq.sortBy(_._1).flatMap { case (url, ms) =>
       // same secondary sort as the Spark shuffle: page first, score desc
       val sorted = ms.sortBy(m =>
         (-(if (m.isPage) Float.MaxValue else m.score),
           if (m.srcUrl == null) "" else m.srcUrl))
-      DbUpdateJob.reduceUrl(url, sorted.iterator, conf, curTime, round)
+      DbUpdateJob.reduceUrl(url, sorted.iterator, conf, curTime, round, newPages)
     }
     out.foreach(upsert)
     out

@@ -27,6 +27,24 @@ case class RobotsRule(host: String, disallow: Seq[String] = Seq.empty,
 trait OutlinkSource extends Serializable {
   /** (targetUrl, anchorText) pairs for a parsed page. */
   def outlinks(url: String, phash: Long): Seq[(String, String)]
+
+  /** Text-aware hook (SURVEY.md B18): sources that mine links out of the
+    * page text (captions can contain URLs) override this; the default
+    * delegates to the content-derived path. */
+  def outlinksFromText(url: String, phash: Long, text: String): Seq[(String, String)] =
+    outlinks(url, phash)
+}
+
+/** B18: regex URL extraction over the page text (the caption for the image
+  * payload) — the reference's plain-text fallback extractor
+  * (parse/OutlinkExtractor.java), optionally composed with another source
+  * (DOM-equivalent links plus text-mined links).
+  */
+case class RegexOutlinks(base: OutlinkSource = null) extends OutlinkSource {
+  override def outlinks(url: String, phash: Long): Seq[(String, String)] =
+    if (base == null) Seq.empty else base.outlinks(url, phash)
+  override def outlinksFromText(url: String, phash: Long, text: String): Seq[(String, String)] =
+    outlinks(url, phash) ++ graft.url.OutlinkExtractor.getOutlinks(text)
 }
 
 /** Deterministic synthetic outlinks: `degree` targets whose page indices

@@ -104,6 +104,28 @@ class JobsSpec extends AnyFunSuite {
     assert(all.count(_.status == CrawlStatus.UNFETCHED) == 4)
   }
 
+  test("db.update.max.newpages caps new-page creation per partition, merges unaffected") {
+    import graft.jobs.DbUpdateJob
+    import graft.model.Marks
+    // one generated page linking to 20 new urls on one host (one partition)
+    val outs = (0 until 20).map(i => s"http://cap.test/n$i.html" -> s"a$i").toMap
+    val src = WebPage(url = "http://cap.test/seed.html",
+      key = graft.url.UrlUtil.uuid3("http://cap.test/seed.html"),
+      status = CrawlStatus.FETCHED, fetchTime = 1000L, cash = 1.0f, score = 1.0f,
+      outlinks = outs,
+      markers = Map(Marks.GENERATE -> "b-1", Marks.DISTANCE -> "0"))
+    val conf = CrawlConfig(numPartitions = 1, maxNewPages = 5)
+    val out = DbUpdateJob.update(spark, Seq(src).toDS(), conf, 2000L, 1).collect()
+    val newPages = out.filter(p => !p.markers.contains(Marks.GENERATE))
+    assert(newPages.length == 5, s"cap 5 but created ${newPages.length}")
+    // the generated page itself (a merge, not a new page) always survives
+    assert(out.exists(_.url == "http://cap.test/seed.html"))
+    // unlimited (0) creates all 20
+    val outAll = DbUpdateJob.update(spark, Seq(src).toDS(),
+      conf.copy(maxNewPages = 0), 2000L, 1).collect()
+    assert(outAll.count(p => !p.markers.contains(Marks.GENERATE)) == 20)
+  }
+
   test("truncate (A10): drop removes the table") {
     val dir = SparkTestBase.tmpDir("drop-table")
     val t = new graft.table.SnapshotTable(dir)

@@ -148,4 +148,45 @@ class UrlCoreSpec extends AnyFunSuite {
     assert(UrlUtil.uuid3(u) != UrlUtil.versionKey(u, 1))
     assert(UrlUtil.versionKey(u, 1) != UrlUtil.versionKey(u, 2))
   }
+
+  // B18 golden cases ported from reference parse/TestOutlinkExtractor.java
+  test("regex outlink extractor: none from null/empty text") {
+    assert(OutlinkExtractor.getOutlinks(null) == Seq.empty)
+    assert(OutlinkExtractor.getOutlinks("") == Seq.empty)
+  }
+
+  test("regex outlink extractor: http urls, bare www host NOT matched") {
+    val urls = OutlinkExtractor.getOutlinks(
+      "Test with http://www.nutch.org/index.html is it found? " +
+        "What about www.google.com at http://www.google.de " +
+        "A longer URL could be http://www.sybit.com/solutions/portals.html").map(_._1)
+    assert(urls == Seq("http://www.nutch.org/index.html", "http://www.google.de",
+      "http://www.sybit.com/solutions/portals.html"))
+  }
+
+  test("regex outlink extractor: anchor carried through") {
+    val links = OutlinkExtractor.getOutlinks(
+      "Test with http://www.nutch.org/index.html is it found? " +
+        "What about www.google.com at http://www.google.de " +
+        "A longer URL could be http://www.sybit.com/solutions/portals.html",
+      anchor = "http://www.sybit.de")
+    assert(links.length == 3)
+    assert(links.forall(_._2 == "http://www.sybit.de"))
+  }
+
+  test("regex outlink extractor: ftp urls") {
+    val urls = OutlinkExtractor.getOutlinks(
+      "Test with ftp://www.nutch.org is it found? " +
+        "What about www.google.com at ftp://www.google.de").map(_._1)
+    assert(urls == Seq("ftp://www.nutch.org", "ftp://www.google.de"))
+  }
+
+  test("RegexOutlinks source mines caption text and composes with a base") {
+    import graft.site.{MapOutlinks, RegexOutlinks}
+    val base = MapOutlinks(Map("http://h/p" -> Seq("http://h/base" -> "a0")))
+    val src = RegexOutlinks(base)
+    val got = src.outlinksFromText("http://h/p", 0L,
+      "caption mentions http://other.example/img.png here")
+    assert(got == Seq("http://h/base" -> "a0", "http://other.example/img.png" -> ""))
+  }
 }
