@@ -268,6 +268,17 @@ object Queries {
       .orderBy(col("qid"))
   }
 
+  /** Random-hyperplane LSH ANN (the real scale path): md5-derived ±1
+    * hyperplanes, nTables bucket tables, exact cosine on candidates only.
+    * The oracle recomputes the identical hyperplanes from the same md5
+    * formula, proving the bucketing is deterministic and engine-portable. */
+  private def qEmbedRhpAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ops.Similarity.rhpNearest(
+      emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", dim = 64, nBits = 8, nTables = 3, k = 3)
+  }
+
   // ----------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,7 +309,8 @@ object Queries {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
-    "q_embed_lsh_ann" -> (qEmbedLshAnn _))
+    "q_embed_lsh_ann" -> (qEmbedLshAnn _),
+    "q_embed_rhp_ann" -> (qEmbedRhpAnn _))
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_agg" ->
@@ -506,5 +518,34 @@ object Queries {
          SELECT qid, bucket, vec_id AS neighbor, sim FROM (
            SELECT qid, bucket, vec_id, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
-           FROM sims) WHERE rn = 1 ORDER BY qid""")
+           FROM sims) WHERE rn = 1 ORDER BY qid""",
+    "q_embed_rhp_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         b AS (
+           SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM (
+             SELECT vec_id, t, j,
+               CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                 embedding[i+1]::DOUBLE *
+                 (CASE WHEN (('0x' || substr(md5(t::VARCHAR || '_' || j::VARCHAR || '_' || i::VARCHAR), 1, 2))::INT % 2) = 0
+                  THEN 1.0 ELSE -1.0 END)))
+                 > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+             FROM e, range(0, 3) s(t), range(0, 8) u(j))
+           GROUP BY vec_id, t),
+         probes AS (SELECT vec_id AS qid, t, bucket FROM b WHERE vec_id < 10),
+         cands AS (SELECT DISTINCT qid, c.vec_id AS cid
+                   FROM probes p JOIN b c ON p.t = c.t AND p.bucket = c.bucket
+                   WHERE c.vec_id >= 10),
+         pv AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+         cv AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id >= 10),
+         sims AS (
+           SELECT qid, cid,
+             round(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 3) AS sim
+           FROM cands JOIN pv USING (qid) JOIN cv USING (cid))
+         SELECT qid, cid AS neighbor, sim, rn FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           FROM sims)
+         WHERE rn <= 3 ORDER BY qid, rn""")
 }

@@ -35,10 +35,83 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** Sign-bit LSH bucket of the first `nBits` dimensions. */
+  /** Sign-bit LSH bucket of the first `nBits` dimensions — the TEACHING
+    * baseline only: 2^nBits skewed buckets, no projections. Use the
+    * random-hyperplane family below for real ANN. */
   def signBucket(embCol: Column, nBits: Int = 4): Column =
     (0 until nBits).map(i => when(element_at(embCol, i + 1) > 0, 1 << i).otherwise(0))
       .reduce(_ + _)
+
+  // ------------------------------------------------- random-hyperplane LSH
+
+  /** ±1 hyperplane component (Rademacher sign-LSH), derived from md5 of
+    * "table_bit_dim" so ANY engine reproduces the exact same hyperplanes
+    * (the DuckDB oracle recomputes them from the same formula) and the
+    * bucketing is deterministic across runs/cluster sizes — no RNG state
+    * to ship. */
+  def rhpComponent(table: Int, bit: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"${table}_${bit}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 0xff) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Bucket id of an embedding under hyperplane table `table`: nBits sign
+    * bits of seeded random projections, evaluated as codegen'd higher-order
+    * functions (hyperplanes are plan-time literals — zero per-row hashing). */
+  def rhpBucket(embCol: Column, dim: Int, nBits: Int, table: Int): Column =
+    (0 until nBits).map { j =>
+      val plane = (0 until dim).map(i => rhpComponent(table, j, i))
+      val dot = aggregate(zip_with(embCol, typedLit(plane), (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, tbl, bucket) rows: one bucket per hyperplane table (multi-table
+    * probing: a neighbour missed by one table is caught by another). */
+  private def rhpBuckets(df: DataFrame, idCol: String, embCol: String,
+      idAlias: String, dim: Int, nBits: Int, nTables: Int): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    df.select(col(idCol).as(idAlias), e.as("e"),
+      posexplode(array((0 until nTables).map(t => rhpBucket(e, dim, nBits, t)): _*))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  /** Candidate (qid, cid) pairs: probes meet corpus vectors that share a
+    * bucket in ANY of the nTables hyperplane tables. The scale path: the
+    * corpus is scanned once, shuffled by (tbl, bucket); each probe compares
+    * against ~nTables * N / 2^nBits candidates instead of N.
+    *
+    * Honesty note on recall: sign-LSH collision probability per bit is
+    * 1 - θ/π for neighbour angle θ, so the recall/reduction trade-off is a
+    * function of how CLOSE the neighbours are. For near-duplicate retrieval
+    * (cos ≥ 0.95, the training-pipeline use-case) the defaults measure
+    * ~0.95 recall at ~45x candidate reduction (OpsSpec); for uniformly
+    * random vectors whose "nearest" neighbour sits at cos ≈ 0.4, NO
+    * sublinear method reaches high recall — use cosineTopK there. */
+  def rhpCandidates(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, dim: Int, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val c = rhpBuckets(corpus, idCol, embCol, "cid", dim, nBits, nTables)
+      .select(col("tbl"), col("bucket"), col("cid"))
+    val p = rhpBuckets(probes, idCol, embCol, "qid", dim, nBits, nTables)
+      .select(col("tbl"), col("bucket"), col("qid"))
+    p.join(c, Seq("tbl", "bucket")).select(col("qid"), col("cid")).distinct()
+  }
+
+  /** Random-hyperplane ANN top-k: bucket-join candidates, exact cosine on
+    * the candidate set only. */
+  def rhpNearest(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, dim: Int, nBits: Int = 8, nTables: Int = 4, k: Int = 10,
+      decimals: Int = 3): DataFrame = {
+    val cand = rhpCandidates(corpus, probes, idCol, embCol, dim, nBits, nTables)
+    val cVec = corpus.select(col(idCol).as("cid"), col(embCol).cast("array<double>").as("e"))
+    val pVec = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+    val joined = cand.join(cVec, Seq("cid")).join(pVec, Seq("qid"))
+      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("cid").as("neighbor"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 
   /** LSH-bucketed approximate nearest neighbour: probes join only their own
     * sign bucket — corpus scanned once, shuffled by bucket, each probe

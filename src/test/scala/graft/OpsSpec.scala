@@ -52,6 +52,39 @@ class OpsSpec extends AnyFunSuite {
     assert(video.forall(v => v.n_frames > 0 && v.frame_phashes.length == v.n_frames))
   }
 
+  test("rhp ANN: recall >= 0.9 on near-duplicates at >= 16x candidate reduction") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // plant near-duplicate probes (cos >= ~0.95 by construction): the
+    // training-pipeline ANN use-case is near-dup retrieval over embeddings
+    val rnd = new scala.util.Random(42)
+    val probes = corpus.where(col("vec_id") < 50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { case (id, e) =>
+        val norm = math.sqrt(e.map(x => x * x).sum)
+        (id, e.map(x => x + 0.25 * norm / math.sqrt(64) * rnd.nextGaussian()).toSeq)
+      }.toSeq.toDF("vec_id", "embedding")
+    val nProbes = 50L
+    val n = corpus.count()
+    // ground truth: exact top-1 per probe (should be the planted original)
+    val truth = Similarity.cosineTopK(corpus, probes, "vec_id", "embedding", 1)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.count(t => t._1 == t._2) >= 45, "planted probes should mostly rank their original first")
+
+    val cand = Similarity.rhpCandidates(corpus, probes, "vec_id", "embedding", dim = 64)
+    val nCand = cand.count()
+    val reduction = (n * nProbes).toDouble / nCand
+    assert(reduction >= 16.0, f"candidate reduction only $reduction%.1fx")
+
+    val got = Similarity.rhpNearest(corpus, probes, "vec_id", "embedding", dim = 64, k = 5)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, f"recall@1-in-5 only $recall%.2f at $reduction%.1fx reduction")
+  }
+
   test("streaming: snapshot appends drive a live status-count stream") {
     import graft.crawl.{Crawl, CrawlConfig}
     import graft.site.PhashOutlinks
