@@ -25,12 +25,21 @@ object PolitenessScheduler {
     * `consumesDelay(payload)=false` models the asap-finish paths
     * (robots-denied) that do not hold the host gate.
     */
+  /** The induced selection rule is "first READY queue in insertion order"
+    * (the reference polls queues in iteration order). A single heap on
+    * (nextTime, idx) would change emitted order when several queues are
+    * ready at once, so two heaps preserve it exactly: `ready` ordered by
+    * insertion index, `pending` ordered by nextTime; when `ready` drains,
+    * the virtual clock jumps to the earliest pending nextTime and every
+    * queue due by then moves over. O(n log q) total vs the previous
+    * per-item linear scan over all queues (O(n·q) — minutes on a
+    * 100k-item / 10k-host partition). */
   def schedule[T](
       items: Iterator[(String, T)],
       delayFor: String => Long,
       consumesDelay: T => Boolean): Iterator[Scheduled[T]] = {
 
-    final class Q(val id: String) {
+    final class Q(val id: String, val idx: Int) {
       val q = mutable.Queue.empty[T]
       var nextTime = 0L
       lazy val delay: Long = math.max(0L, delayFor(id))
@@ -38,25 +47,36 @@ object PolitenessScheduler {
     val queues = mutable.LinkedHashMap.empty[String, Q]
     var total = 0
     items.foreach { case (qid, t) =>
-      queues.getOrElseUpdate(qid, new Q(qid)).q.enqueue(t)
+      queues.getOrElseUpdate(qid, new Q(qid, queues.size)).q.enqueue(t)
       total += 1
     }
+
+    val ready = new java.util.PriorityQueue[Q](
+      math.max(1, queues.size), java.util.Comparator.comparingInt[Q](_.idx))
+    val pending = new java.util.PriorityQueue[Q](
+      math.max(1, queues.size), java.util.Comparator.comparingLong[Q](_.nextTime))
+    queues.values.foreach(ready.add) // insertion order; all due at t=0
 
     val out = new mutable.ArrayBuffer[Scheduled[T]](total)
     var now = 0L
     var seq = 0
     var remaining = total
     while (remaining > 0) {
-      val ready = queues.valuesIterator.find(q => q.q.nonEmpty && q.nextTime <= now)
-      ready match {
-        case Some(q) =>
-          val item = q.q.dequeue()
-          out += Scheduled(item, q.id, now, seq)
-          seq += 1
-          remaining -= 1
-          q.nextTime = if (consumesDelay(item)) now + q.delay else now
-        case None =>
-          now = queues.valuesIterator.filter(_.q.nonEmpty).map(_.nextTime).min
+      if (ready.isEmpty) {
+        val first = pending.poll()
+        now = first.nextTime
+        ready.add(first)
+        while (pending.peek() != null && pending.peek().nextTime <= now)
+          ready.add(pending.poll())
+      }
+      val q = ready.poll()
+      val item = q.q.dequeue()
+      out += Scheduled(item, q.id, now, seq)
+      seq += 1
+      remaining -= 1
+      q.nextTime = if (consumesDelay(item)) now + q.delay else now
+      if (q.q.nonEmpty) {
+        if (q.nextTime <= now) ready.add(q) else pending.add(q)
       }
     }
     out.iterator

@@ -96,6 +96,47 @@ object GraftProperties extends Properties("graft") {
       dw == w && dh == h && decoded.sameElements(pixels)
     }
 
+  /** The previous per-item linear scan over all queues, kept as the
+    * selection-rule oracle for the heap scheduler (first ready queue in
+    * insertion order). */
+  private def naiveSchedule[T](items: Iterator[(String, T)], delayFor: String => Long,
+      consumesDelay: T => Boolean): Seq[graft.jobs.PolitenessScheduler.Scheduled[T]] = {
+    import scala.collection.mutable
+    final class Q(val id: String) {
+      val q = mutable.Queue.empty[T]; var nextTime = 0L
+      lazy val delay: Long = math.max(0L, delayFor(id))
+    }
+    val queues = mutable.LinkedHashMap.empty[String, Q]
+    var total = 0
+    items.foreach { case (qid, t) => queues.getOrElseUpdate(qid, new Q(qid)).q.enqueue(t); total += 1 }
+    val out = mutable.ArrayBuffer.empty[graft.jobs.PolitenessScheduler.Scheduled[T]]
+    var now = 0L; var seq = 0; var remaining = total
+    while (remaining > 0) {
+      queues.valuesIterator.find(q => q.q.nonEmpty && q.nextTime <= now) match {
+        case Some(q) =>
+          val item = q.q.dequeue()
+          out += graft.jobs.PolitenessScheduler.Scheduled(item, q.id, now, seq)
+          seq += 1; remaining -= 1
+          q.nextTime = if (consumesDelay(item)) now + q.delay else now
+        case None => now = queues.valuesIterator.filter(_.q.nonEmpty).map(_.nextTime).min
+      }
+    }
+    out.toSeq
+  }
+
+  property("politeness heap emits byte-identical order to the linear-scan rule") =
+    forAll(Gen.listOfN(200, Gen.choose(0, 12)), Gen.choose(0L, 40L), Gen.long) {
+      (hostIdx, delay, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val items = hostIdx.zipWithIndex.map { case (hi, i) => (s"http://h$hi", i) }
+        val delays = (0 to 12).map(h => s"http://h$h" -> (if (rnd.nextBoolean()) delay else delay * 2)).toMap
+        val consume = (i: Int) => i % 7 != 0 // some asap-finish items
+        val fast = graft.jobs.PolitenessScheduler
+          .schedule[Int](items.iterator, delays.getOrElse(_, 0L), consume).toSeq
+        val slow = naiveSchedule[Int](items.iterator, delays.getOrElse(_, 0L), consume)
+        fast == slow
+    }
+
   property("politeness: per-queue gaps always >= delay") =
     forAll(Gen.listOfN(40, Gen.choose(0, 5)), Gen.choose(1L, 50L)) { (hostIdx, delay) =>
       val items = hostIdx.zipWithIndex.map { case (hi, i) => (s"http://h$hi", i) }

@@ -76,4 +76,24 @@ class ScheduleSpec extends AnyFunSuite {
     assert(after.fetchTime == 777L)
     assert(after.fetchInterval == 900)
   }
+
+  test("politeness heap handles a 100k-item / 10k-host partition fast") {
+    // the old per-item linear scan over all queues was O(items x hosts) —
+    // ~10^9 probe steps here; the ready/pending heap pair is O(n log q)
+    val rnd = new scala.util.Random(7)
+    val items = (0 until 100000).map(i => (s"http://h${rnd.nextInt(10000)}", i))
+    val t0 = System.nanoTime()
+    val out = graft.jobs.PolitenessScheduler
+      .schedule[Int](items.iterator, _ => 50L, _ => true).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.size == 100000)
+    // generous absolute bound: heap runs in ~0.1s, the linear scan in minutes
+    assert(secs < 10.0, f"politeness scheduling took $secs%.1f s for 100k/10k")
+    // per-queue min-gap still holds
+    val byQ = out.groupBy(_.queueId)
+    assert(byQ.forall { case (_, fs) =>
+      val ts = fs.map(_.virtualTimeMs).sorted
+      ts.zip(ts.drop(1)).forall { case (a, b) => b - a >= 50L }
+    })
+  }
 }
