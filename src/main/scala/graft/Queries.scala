@@ -161,9 +161,10 @@ object Queries {
     val custKeys = t(s, dir, "customer").select(col("c_custkey").cast("string")).as[String]
     val seen = graft.seen.BloomSeen.build(custKeys.rdd, numParts = 8,
       expectedItems = 10000, fpp = 0.01)
-    val b = s.sparkContext.broadcast(seen)
+    // native codegen'd probe expression — no Scala UDF in the seen-set path
     val candidates = t(s, dir, "orders").select(col("o_custkey")).distinct()
-      .filter(udf((k: Long) => b.value.mightContain(k.toString)).apply(col("o_custkey")))
+      .filter(graft.functions.SeenMightContain.mightContain(
+        s, col("o_custkey").cast("string"), seen))
     candidates
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(count(lit(1)).as("cnt"))

@@ -67,6 +67,24 @@ object Exprs {
     override def prettyName: String = "graft_reverse_url"
   }
 
+  /** reverse_host(url): the hostdb grouping key — reversed host of the url
+    * (HostDbUpdateJob groups by TableUtil.reverseHost). */
+  case class ReverseHost(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      try UTF8String.fromString(UrlUtil.reverseHost(UrlUtil.getHost(v.toString)))
+      catch { case _: Exception => null }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""try { ${ev.value} = UTF8String.fromString(
+           |  graft.url.UrlUtil.reverseHost(graft.url.UrlUtil.getHost($c.toString()))); }
+           |catch (Exception e) { ${ev.isNull} = true; }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ReverseHost =
+      copy(child = newChild)
+    override def prettyName: String = "graft_reverse_host"
+  }
+
   /** host_partition(url, n, seed): the salted host partitioner as a column. */
   case class HostPartition(child: Expression, numPartitions: Int, seed: Int)
       extends UnaryExpression {
@@ -95,5 +113,7 @@ object GraftFunctions {
       exprs => NormalizeUrl(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_reverse_url",
       exprs => ReverseUrl(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_reverse_host",
+      exprs => ReverseHost(exprs.head), "scala_udf")
   }
 }

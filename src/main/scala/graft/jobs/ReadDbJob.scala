@@ -56,9 +56,10 @@ object HostDbJob {
   import graft.model.CrawlStatus
 
   def hostStats(spark: SparkSession, pages: DataFrame): DataFrame = {
-    val hostUdf = udf((url: String) => UrlUtil.reverseHost(UrlUtil.getHost(url)))
+    // native codegen'd expression, not a Scala UDF (SURVEY.md §4)
+    graft.functions.GraftFunctions.register(spark)
     pages
-      .withColumn("host", hostUdf(col("url")))
+      .withColumn("host", call_function("graft_reverse_host", col("url")))
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("n_pages"),

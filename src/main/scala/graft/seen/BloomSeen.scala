@@ -2,6 +2,13 @@ package graft.seen
 
 import org.apache.spark.rdd.RDD
 
+/** Approximate-membership probe surface shared by the seen-set structures,
+  * so Catalyst expressions (functions.SeenMightContain) and jobs can hold
+  * any of them behind one type. */
+trait SeenFilter extends Serializable {
+  def mightContain(key: String): Boolean
+}
+
 /** Simple serializable Bloom filter over string keys.
   * k hash probes derived from one 128-bit Murmur3 base hash of the key
   * bytes (Kirsch–Mitzenmacher double hashing: bit_i = h1 + i*h2), bits in
@@ -9,7 +16,7 @@ import org.apache.spark.rdd.RDD
   * 32-bit hash caps the achievable FPP at the base hash's collision rate
   * (~2 colliding pairs per cell at 10^10 keys), regardless of filter size.
   */
-final class BloomFilter(val numBits: Long, val numHashes: Int) extends Serializable {
+final class BloomFilter(val numBits: Long, val numHashes: Int) extends SeenFilter {
   require(numBits > 0 && numHashes > 0)
   private val words = new Array[Long](((numBits + 63) / 64).toInt)
 
@@ -94,7 +101,7 @@ object BloomFilter {
   * exact anti-join against the store (false positives must never silently
   * drop URLs — SURVEY.md §7.5 risk 4).
   */
-final class BloomSeen(val parts: Array[BloomFilter], val numParts: Int) extends Serializable {
+final class BloomSeen(val parts: Array[BloomFilter], val numParts: Int) extends SeenFilter {
   private def partOf(key: String): Int =
     java.lang.Math.floorMod(key.hashCode, numParts)
 

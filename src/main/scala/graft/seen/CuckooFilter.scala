@@ -11,7 +11,7 @@ import org.apache.spark.rdd.RDD
   * hash(fingerprint).
   */
 final class CuckooFilter(val numBuckets: Int, val maxKicks: Int = 500)
-    extends Serializable {
+    extends SeenFilter {
   require((numBuckets & (numBuckets - 1)) == 0, "numBuckets must be a power of two")
   private val SlotsPerBucket = 4
   // fingerprints stored in a short array; 0 = empty

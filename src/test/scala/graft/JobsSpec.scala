@@ -144,6 +144,18 @@ class JobsSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_quantity"), "scan should read only needed columns")
   }
 
+  test("explain: no ScalaUDF in the bloom probe or hostdb plans (§4)") {
+    val bloomPlan = Queries.all("q_bloom_seen")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("ScalaUDF"), s"UDF in bloom probe plan:\n$bloomPlan")
+    assert(bloomPlan.contains("graft_seen_contains"), "native probe expression missing")
+    val pages = crawled.table.currentView(spark).drop("snapshot_id")
+    val hostPlan = HostDbJob.hostStats(spark, pages)
+      .queryExecution.executedPlan.toString
+    assert(!hostPlan.contains("ScalaUDF"), s"UDF in hostdb plan:\n$hostPlan")
+    assert(hostPlan.contains("graft_reverse_host"), "native reverse-host expression missing")
+  }
+
   test("explain: small dims broadcast in q_dim_join") {
     val df = Queries.all("q_dim_join")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
