@@ -138,11 +138,25 @@ object Bench {
 
     // ---- phase A: headline operator queries on the shared testdata
     var spark = session(cpus)
-    // JVM/codegen warmup so the first timed query doesn't absorb one-off
-    // whole-stage-codegen + JIT costs (round 1 charged ~4s of warmup to
-    // q_scan_filter_agg); untimed
-    run(Queries.all("q_scan_filter_agg")(spark, sfDir))
-    run(Queries.all("q_update_merge")(spark, sfDir))
+    // JVM/codegen warmup: run EVERY headline query once against a tiny
+    // mirror of the testdata (same plan shapes => same generated code =>
+    // codegen cache warm; JIT warm). Round 1 charged ~4s of one-off
+    // compilation to the first query; the dedup pipelines carry ~6s of
+    // codegen alone.
+    val warmDir = s"/dev/shm/graft-warmup-${math.abs(sfDir.hashCode)}"
+    if (!new java.io.File(warmDir, "_DONE").exists()) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tname =>
+        spark.read.parquet(s"$sfDir/$tname.parquet").limit(200)
+          .coalesce(1).write.mode("overwrite").parquet(s"$warmDir/$tname.parquet")
+      }
+      new java.io.File(warmDir, "_DONE").createNewFile()
+    }
+    headline.foreach { name =>
+      try run(Queries.all(name)(spark, warmDir))
+      catch { case e: Exception => System.err.println(s"[bench] warmup $name: $e") }
+      spark.catalog.clearCache()
+    }
     val qTimes = headline.flatMap { name =>
       Queries.all.get(name).map { fn =>
         val (_, secs) = time(run(fn(spark, sfDir)))

@@ -269,6 +269,30 @@ object Queries {
       .orderBy(col("qid"))
   }
 
+  /** B6: DFA-compiled URL filter (automaton plugin shape) applied to a
+    * synthesized url mix — whole-string DFA matching, first-match-decides
+    * +/- rule order; DuckDB mirrors with regexp_full_match in the same rule
+    * order. The filter itself runs as a codegen'd predicate expression. */
+  private def qUrlfilterAutomaton(s: SparkSession, dir: String): DataFrame = {
+    val filter = graft.url.AutomatonUrlFilter.parse(Seq(
+      "-(file|ftp|mailto):.*",
+      "-.*\\.(gif|GIF|jpg|JPG|ico|ICO|css|exe)",
+      "-.*[?*!@=].*",
+      "+.*"))
+    t(s, dir, "documents")
+      .withColumn("url", expr(
+        """CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN concat('http://h', doc_id % 20, '.example.com/p/', doc_id, '.html')
+           WHEN 1 THEN concat('ftp://mirror.example.net/f', doc_id)
+           WHEN 2 THEN concat('http://h', doc_id % 20, '.example.com/img', doc_id, '.gif')
+           WHEN 3 THEN concat('http://h', doc_id % 20, '.example.com/q?id=', doc_id)
+           ELSE concat('mailto:user', doc_id, '@example.com') END"""))
+      .withColumn("accepted",
+        graft.functions.UrlFilterAccepts.accepts(s, col("url"), filter).cast("int"))
+      .groupBy(col("accepted")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("accepted"))
+  }
+
   /** Random-hyperplane LSH ANN (the real scale path): md5-derived ±1
     * hyperplanes, nTables bucket tables, exact cosine on candidates only.
     * The oracle recomputes the identical hyperplanes from the same md5
@@ -311,7 +335,8 @@ object Queries {
     "q_token_count" -> (qTokenCount _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_embed_lsh_ann" -> (qEmbedLshAnn _),
-    "q_embed_rhp_ann" -> (qEmbedRhpAnn _))
+    "q_embed_rhp_ann" -> (qEmbedRhpAnn _),
+    "q_urlfilter_automaton" -> (qUrlfilterAutomaton _))
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_agg" ->
@@ -548,5 +573,24 @@ object Queries {
            SELECT qid, cid, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
            FROM sims)
-         WHERE rn <= 3 ORDER BY qid, rn""")
+         WHERE rn <= 3 ORDER BY qid, rn""",
+    "q_urlfilter_automaton" ->
+      """WITH urls AS (
+           SELECT CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id || '.html'
+             WHEN 1 THEN 'ftp://mirror.example.net/f' || doc_id
+             WHEN 2 THEN 'http://h' || (doc_id % 20) || '.example.com/img' || doc_id || '.gif'
+             WHEN 3 THEN 'http://h' || (doc_id % 20) || '.example.com/q?id=' || doc_id
+             ELSE 'mailto:user' || doc_id || '@example.com' END AS url
+           FROM documents),
+         judged AS (
+           SELECT CASE
+             WHEN regexp_full_match(url, '(file|ftp|mailto):.*') THEN 0
+             WHEN regexp_full_match(url, '.*\.(gif|GIF|jpg|JPG|ico|ICO|css|exe)') THEN 0
+             WHEN regexp_full_match(url, '.*[?*!@=].*') THEN 0
+             WHEN regexp_full_match(url, '.*') THEN 1
+             ELSE 0 END AS accepted
+           FROM urls)
+         SELECT accepted, count(*) AS cnt FROM judged
+         GROUP BY accepted ORDER BY accepted""")
 }

@@ -82,6 +82,20 @@ object FetcherJob {
   private def consumesDelay(statusAndCode: (Int, Int)): Boolean =
     statusAndCode._2 != ProtocolStatusCodes.ROBOTS_DENIED
 
+  /** Per-queue politeness gate (reference FetchItemQueue.setEndTime:219-224):
+    * with fetcher.threads.per.queue > 1 the gate is fetcher.server.min.delay
+    * regardless of crawl delay (multiple connections per host are allowed,
+    * only the minimum spacing applies — the virtual-clock reduction of the
+    * multi-slot queue, where fetches take zero virtual time); otherwise the
+    * robots Crawl-Delay override or fetcher.server.delay. */
+  def queueDelayMs(qid: String, env: FetchEnv, conf: CrawlConfig): Long =
+    if (conf.fetcherThreadsPerQueue > 1) conf.fetcherServerMinDelayMs
+    else {
+      val host = qid.substring(qid.indexOf("://") + 3)
+      val override_ = env.robotsFor(host).crawlDelayMs
+      if (override_ > 0) override_ else conf.fetcherServerDelayMs
+    }
+
   def fetch(spark: SparkSession, generated: Dataset[WebPage], images: DataFrame,
       env: FetchEnv, conf: CrawlConfig, batchId: String, curTime: Long,
       round: Int): Dataset[WebPage] = {
@@ -107,11 +121,7 @@ object FetcherJob {
         val decision = decide(p, e, c)
         (PolitenessScheduler.queueIdOf(p.url), (p, decision))
       }
-      val delayFor: String => Long = { qid =>
-        val host = qid.substring(qid.indexOf("://") + 3)
-        val override_ = e.robotsFor(host).crawlDelayMs
-        if (override_ > 0) override_ else c.fetcherServerDelayMs
-      }
+      val delayFor: String => Long = qid => queueDelayMs(qid, e, c)
       PolitenessScheduler
         .schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
           item => consumesDelay((item._2._1, item._2._2)))

@@ -6,7 +6,7 @@ import graft.crawl.CrawlConfig
 import graft.images.ImageSynth
 import graft.model._
 import graft.site.OutlinkSource
-import graft.url.{RegexUrlFilter, Signatures, UrlNormalizers, UrlUtil}
+import graft.url.{RegexUrlFilter, Signatures, UrlFilter, UrlNormalizers, UrlUtil}
 
 /** The parse stage: payload decode + text + outlinks + signature.
   *
@@ -26,7 +26,7 @@ object ParserJob {
 
   /** Pure single-page parse, shared with refsim. */
   def parsePage(page: WebPage, conf: CrawlConfig, source: OutlinkSource,
-      filter: RegexUrlFilter, batchId: String): WebPage = {
+      filter: UrlFilter, batchId: String): WebPage = {
     if (page.status != CrawlStatus.FETCHED) return page
     if (!page.markers.get(Marks.FETCH).contains(batchId)) return page
     if (page.content == null || page.content.isEmpty) return page

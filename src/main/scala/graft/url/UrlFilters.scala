@@ -2,6 +2,24 @@ package graft.url
 
 import java.util.regex.Pattern
 
+/** The URLFilter extension point (reference: api URLFilter.java + the
+  * URLFilters chain): url back if accepted, null if rejected. All five
+  * filter plugins (regex/prefix/suffix/domain/automaton) plus the validator
+  * implement it and compose via [[UrlFilterChain]]. */
+trait UrlFilter extends Serializable {
+  def filter(url: String): String
+}
+
+/** Every filter must accept; the first null rejects (URLFilters.filter). */
+final case class UrlFilterChain(filters: Seq[UrlFilter]) extends UrlFilter {
+  def filter(url: String): String = {
+    var u = url
+    var i = 0
+    while (i < filters.length && u != null) { u = filters(i).filter(u); i += 1 }
+    u
+  }
+}
+
 /** First-match-decides +/- regex URL filter (reference: plugin/urlfilter-regex
   * with the default whole-internet rules from
   * src/main/resources/regex-urlfilter.txt.template:26-40).
@@ -9,7 +27,7 @@ import java.util.regex.Pattern
   * Returns the url if accepted, null if rejected (same contract as the
   * reference's URLFilter.filter). A URL matching no rule is rejected.
   */
-final class RegexUrlFilter(rules: Seq[(Boolean, Pattern)]) extends Serializable {
+final class RegexUrlFilter(rules: Seq[(Boolean, Pattern)]) extends UrlFilter {
   def filter(url: String): String = {
     var i = 0
     while (i < rules.length) {
@@ -58,21 +76,25 @@ object RegexUrlFilter {
   lazy val acceptAll: RegexUrlFilter = parse(Seq("+."))
 }
 
-/** Prefix-based allow filter (reference: plugin/urlfilter-prefix). */
-final class PrefixUrlFilter(prefixes: Seq[String]) extends Serializable {
+/** Prefix-based allow filter (reference: plugin/urlfilter-prefix, backed by
+  * util/PrefixStringMatcher's trie): O(|url|) regardless of rule count. */
+final class PrefixUrlFilter(prefixes: Seq[String]) extends UrlFilter {
+  private val trie = TrieMatcher.forPrefixes(prefixes)
   def filter(url: String): String =
-    if (prefixes.exists(url.startsWith)) url else null
+    if (trie.matches(url)) url else null
 }
 
-/** Suffix-based deny filter (reference: plugin/urlfilter-suffix, deny-mode). */
-final class SuffixUrlFilter(suffixes: Seq[String]) extends Serializable {
+/** Suffix-based deny filter (reference: plugin/urlfilter-suffix deny-mode,
+  * backed by util/SuffixStringMatcher's reversed trie): O(|url|). */
+final class SuffixUrlFilter(suffixes: Seq[String]) extends UrlFilter {
+  private val trie = TrieMatcher.forSuffixes(suffixes)
   def filter(url: String): String =
-    if (suffixes.exists(url.endsWith)) null else url
+    if (trie.matches(url)) null else url
 }
 
 /** Domain allow-list filter (reference: plugin/urlfilter-domain): accepts a
   * url if its host, domain or suffix appears in the list. */
-final class DomainUrlFilter(domains: Set[String]) extends Serializable {
+final class DomainUrlFilter(domains: Set[String]) extends UrlFilter {
   def filter(url: String): String = {
     val host = UrlUtil.getHost(url).toLowerCase
     val domain = UrlUtil.getDomainName(url).toLowerCase

@@ -104,6 +104,39 @@ class JobsSpec extends AnyFunSuite {
     assert(all.count(_.status == CrawlStatus.UNFETCHED) == 4)
   }
 
+  test("linkdb: edge table + FrontierJob putIfAbsent seeding") {
+    import graft.jobs.LinkDb
+    val pages = crawled.table.currentView(spark).drop("snapshot_id").as[WebPage]
+    val edges = LinkDb.edges(spark, pages).cache()
+    val expectedEdges = pages.collect().map(_.outlinks.size).sum
+    assert(edges.count() == expectedEdges && expectedEdges > 0)
+    // edge keys are the target's storage key (join-compatible with frontier)
+    val e0 = edges.head()
+    assert(e0.key == graft.url.UrlUtil.uuid3(e0.out))
+    // inlink aggregates
+    val stats = LinkDb.inlinkStats(edges).collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Long]("n_inlinks") > 0))
+    // frontier: an edge to an existing url creates nothing; to a new url,
+    // exactly one UNFETCHED row regardless of duplicate edges
+    val existing = pages
+    val known = pages.head().url
+    val fresh = "http://frontier.test/new-page.html"
+    val seedEdges = Seq(
+      WebPage(url = "http://frontier.test/src1.html",
+        outlinks = Map(known -> "a", fresh -> "b")),
+      WebPage(url = "http://frontier.test/src2.html",
+        outlinks = Map(fresh -> "b2"))).toDS()
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 4)
+    val newRows = LinkDb.frontier(spark, LinkDb.edges(spark, seedEdges),
+      existing, conf, 1234L).collect()
+    assert(newRows.length == 1)
+    assert(newRows.head.url == fresh)
+    assert(newRows.head.status == CrawlStatus.UNFETCHED)
+    assert(newRows.head.key == graft.url.UrlUtil.uuid3(fresh))
+    assert(newRows.head.score == 1.0f)
+    edges.unpersist()
+  }
+
   test("db.update.max.newpages caps new-page creation per partition, merges unaffected") {
     import graft.jobs.DbUpdateJob
     import graft.model.Marks

@@ -77,6 +77,22 @@ class ScheduleSpec extends AnyFunSuite {
     assert(after.fetchInterval == 900)
   }
 
+  test("fetcher.threads.per.queue > 1 switches the host gate to min.delay") {
+    import graft.crawl.CrawlConfig
+    import graft.jobs.FetcherJob
+    import graft.site.{FetchEnv, RobotsRule}
+    val env = FetchEnv(robots = Map("slow.test" -> RobotsRule("slow.test", crawlDelayMs = 7000)))
+    val qid = "http://slow.test"
+    // single slot: robots Crawl-Delay override, else server delay
+    val one = CrawlConfig(fetcherServerDelayMs = 5000, fetcherServerMinDelayMs = 100)
+    assert(FetcherJob.queueDelayMs(qid, env, one) == 7000)
+    assert(FetcherJob.queueDelayMs("http://other.test", env, one) == 5000)
+    // multi-slot: min.delay gates regardless (FetchItemQueue.setEndTime)
+    val multi = one.copy(fetcherThreadsPerQueue = 2)
+    assert(FetcherJob.queueDelayMs(qid, env, multi) == 100)
+    assert(FetcherJob.queueDelayMs("http://other.test", env, multi) == 100)
+  }
+
   test("politeness heap handles a 100k-item / 10k-host partition fast") {
     // the old per-item linear scan over all queues was O(items x hosts) —
     // ~10^9 probe steps here; the ready/pending heap pair is O(n log q)
