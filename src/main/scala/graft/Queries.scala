@@ -304,6 +304,38 @@ object Queries {
       "vec_id", "embedding", dim = 64, nBits = 8, nTables = 3, k = 3)
   }
 
+  /** Multimodal pipeline (rows-only driver check — PNG decode is not
+    * DuckDB-expressible): synthesize a deterministic image universe, run
+    * decode/meta + feature-extract + resize, and emit per-format
+    * verification counts (phash recomputed from decoded pixels matches the
+    * table, histograms L1-normalize to 3.0, resized payloads decode at the
+    * target size). All counts must equal n_images on a correct pipeline. */
+  private def qMultimodalPipeline(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    import graft.ops.Multimodal
+    val images = graft.images.ImageSynth.imagesDf(s, nPages = 64, nHosts = 4,
+      w = 24, h = 24, partitions = 4)
+    val meta = Multimodal.imageMeta(images).toDF()
+    val featOk = Multimodal.imageFeatures(images)
+      .map(f => (f.id, f.feature.sum.toDouble)).toDF("id", "l1")
+    val resizedImgs = Multimodal.resize(images, 8, 8).toDF()
+      .select(col("id").as("image_id"), col("bytes"), lit("png").as("fmt"))
+    val rz = Multimodal.imageMeta(resizedImgs).toDF()
+      .select(col("id"), col("w").as("rw"), col("h").as("rh"))
+    meta
+      .join(images.select(col("image_id").as("id"), col("phash").as("tbl_phash")), Seq("id"))
+      .join(featOk, Seq("id"))
+      .join(rz, Seq("id"))
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("phash") === col("tbl_phash"), 1).otherwise(0)).as("n_phash_match"),
+        sum(when(abs(col("l1") - 3.0) < 1e-3, 1).otherwise(0)).as("n_feat_normalized"),
+        sum(when(col("rw") === 8 && col("rh") === 8, 1).otherwise(0)).as("n_resized_ok"))
+      .orderBy(col("fmt"))
+  }
+
   // ----------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -336,7 +368,9 @@ object Queries {
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_embed_lsh_ann" -> (qEmbedLshAnn _),
     "q_embed_rhp_ann" -> (qEmbedRhpAnn _),
-    "q_urlfilter_automaton" -> (qUrlfilterAutomaton _))
+    "q_urlfilter_automaton" -> (qUrlfilterAutomaton _),
+    // rows-only driver check (no DuckDB oracle: binary decode)
+    "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_agg" ->

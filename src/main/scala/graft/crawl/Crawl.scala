@@ -107,9 +107,15 @@ final class Crawl(
 
   /** Run the crawl for `depth` rounds, resuming from whatever the table has
     * already completed. Returns per-round stats (cheap counts off the
-    * committed snapshots) when `collectStats`. */
+    * committed snapshots) when `collectStats`.
+    *
+    * Compaction runs every `compactEvery` rounds BY DEFAULT (0 disables):
+    * the latest-key-wins view is a window over every delta since the last
+    * base snapshot, so at 10^10 rows an uncompacted table makes each
+    * generate round re-merge the whole history — bounding the delta chain
+    * is the default, not an option the caller must remember. */
   def run(depth: Int, seeds: Seq[String], collectStats: Boolean = true,
-      compactEvery: Int = 0): Seq[RoundStats] = {
+      compactEvery: Int = 8): Seq[RoundStats] = {
     val done: Option[(Int, String)] = if (table.exists) table.lastCompleted else None
     def completed(round: Int, stage: String): Boolean = done.exists { case (r, s) =>
       r > round || (r == round && stageOrder(s) >= stageOrder(stage))

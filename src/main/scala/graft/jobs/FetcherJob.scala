@@ -174,9 +174,11 @@ object FetcherJob {
 
     import org.apache.spark.sql.functions.col
     val presentIds = images.select(col("image_id"))
+    // anti-join side is the column-pruned image_id scan only (a few MB of
+    // keys, not payloads); Catalyst plans it — a shuffle_hash hint is NOT
+    // applicable here (no "build left" for left-anti joins)
     val missing = pendingSuccess
       .map(p => (UrlUtil.uuid3(p.url), p)).toDF("image_id", "page")
-      .hint("shuffle_hash")
       .join(presentIds, Seq("image_id"), "left_anti")
       .select(col("page.*")).as[WebPage]
       .map(p => p.copy(status = CrawlStatus.GONE,
