@@ -93,12 +93,17 @@ final class Crawl(
       // merge) prefilters discovered urls; bloom-positives join the store
       // and merge state-preservingly (see DbUpdateJob.mergeSeenNewPages)
       val v = view.persist(StorageLevel.MEMORY_AND_DISK)
+      // the merge consumes `updated` three ways (batch rows, bloom-negative
+      // new pages, bloom-positive store join); persist so the update
+      // shuffle+reduce runs once, not once per branch
+      val u = updated.persist(StorageLevel.MEMORY_AND_DISK)
       val keys = v.map(_.key)
       val expected = math.max(1000L, keys.count())
       val seen = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected, conf.seenBloomFpp)
-      updated = DbUpdateJob.mergeSeenNewPages(spark, updated, seen, v)
-      val id = table.append(updated.toDF(), round, "update")
+      val merged = DbUpdateJob.mergeSeenNewPages(spark, u, seen, v)
+      val id = table.append(merged.toDF(), round, "update")
       v.unpersist()
+      u.unpersist()
       id
     } else {
       table.append(updated.toDF(), round, "update")

@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.crawl.CrawlConfig
@@ -44,19 +43,6 @@ object DbUpdateJob {
       anchor: String = null,
       fetchTime: Long = 0L,
       distance: Int = Int.MaxValue)
-
-  /** Shuffle key: partition on url; sort (url asc, score desc, src asc).
-    * Page messages carry Float.MaxValue so they group first. */
-  case class UpdKey(url: String, score: Float, src: String)
-
-  implicit val updKeyOrdering: Ordering[UpdKey] =
-    Ordering.by((k: UpdKey) => (k.url, -k.score, k.src))
-
-  private final class UrlOnlyPartitioner(n: Int) extends Partitioner {
-    override def numPartitions: Int = n
-    override def getPartition(key: Any): Int =
-      (key.asInstanceOf[UpdKey].url.hashCode & Int.MaxValue) % n
-  }
 
   /** Map side: page msg + scored outlink msgs (DbUpdateMapper.map). Pure,
     * shared with refsim. */
@@ -185,23 +171,38 @@ object DbUpdateJob {
 
   /** Streaming consecutive-url grouper over a (url, score desc)-sorted
     * partition — the MR grouping-comparator equivalent. */
-  private def reducePartition(it: Iterator[(UpdKey, UpdateMsg)], conf: CrawlConfig,
+  private def reducePartition(it: Iterator[UpdateMsg], conf: CrawlConfig,
       curTime: Long, round: Int): Iterator[WebPage] = {
     val b = it.buffered
     val newPages = new NewPageBudget(conf.maxNewPages)
     new Iterator[Option[WebPage]] {
       override def hasNext: Boolean = b.hasNext
       override def next(): Option[WebPage] = {
-        val url = b.head._1.url
+        val url = b.head.url
         val group = new Iterator[UpdateMsg] {
-          override def hasNext: Boolean = b.hasNext && b.head._1.url == url
-          override def next(): UpdateMsg = b.next()._2
+          override def hasNext: Boolean = b.hasNext && b.head.url == url
+          override def next(): UpdateMsg = b.next()
         }
         val res = reduceUrl(url, group, conf, curTime, round, newPages)
         while (group.hasNext) group.next() // drain past the inlink cap
         res
       }
     }.flatten
+  }
+
+  /** Shuffle key: partition on url; sort (url asc, score desc, src asc).
+    * Page messages carry Float.MaxValue so they group first.
+    * (A Catalyst Dataset exchange was measured slower here — see
+    * GeneratorJob.generate's shuffle-choice note.) */
+  case class UpdKey(url: String, score: Float, src: String)
+
+  implicit val updKeyOrdering: Ordering[UpdKey] =
+    Ordering.by((k: UpdKey) => (k.url, -k.score, k.src))
+
+  private final class UrlOnlyPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int =
+      (key.asInstanceOf[UpdKey].url.hashCode & Int.MaxValue) % n
   }
 
   def update(spark: SparkSession, batchRows: Dataset[WebPage], conf: CrawlConfig,
@@ -217,7 +218,7 @@ object DbUpdateJob {
     }
     val sorted = keyed.repartitionAndSortWithinPartitions(
       new UrlOnlyPartitioner(conf.numPartitions))
-    spark.createDataset(sorted.mapPartitions(it => reducePartition(it, c, t, r)))
+    spark.createDataset(sorted.mapPartitions(it => reducePartition(it.map(_._2), c, t, r)))
   }
 
   /** Scale path for discovered-URL handling (SURVEY.md C10/D3, north_rule):

@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.spark.Partitioner
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.crawl.CrawlConfig
@@ -29,7 +28,7 @@ import graft.url.{UrlPartitioner, UrlUtil}
   */
 object FetcherJob {
 
-  private final class IntPartitioner(n: Int) extends Partitioner {
+  private final class IntPartitioner(n: Int) extends org.apache.spark.Partitioner {
     override def numPartitions: Int = n
     override def getPartition(key: Any): Int =
       key.asInstanceOf[(Int, Long, String)]._1
@@ -108,7 +107,10 @@ object FetcherJob {
 
     val batch = generated.filter(_.markers.get(Marks.GENERATE).contains(batchId))
 
-    // salted host partitioning + deterministic arrival shuffle within partitions
+    // salted host partitioning + deterministic arrival shuffle within
+    // partitions (Kryo RDD shuffle — measured faster than a Dataset
+    // exchange for map-heavy WebPage rows, see GeneratorJob.generate)
+    import org.apache.spark.sql.functions.col
     val keyed = batch.rdd.map { p =>
       val pid = UrlPartitioner.getPartition(p.url, n, seed = r, mode = c.partitionMode)
       ((pid, arrivalKey(p.url, r), p.url), p)
@@ -145,46 +147,44 @@ object FetcherJob {
     }
     val scheduledDs = spark.createDataset(scheduled)
 
-    // Payload attach: fetchlist (small) joins the image universe (huge) on
-    // image_id. The huge side must never be sorted or spilled: an OUTER
-    // join would force a sort-merge of the payload side (left-outer +
-    // build-left is not a shuffled-hash shape), so instead
-    //   (1) an INNER join, hash-built on the hinted fetchlist side — with
-    //       the images table bucketed by image_id (the production layout,
-    //       see Bench) only the fetchlist shuffles, the payload streams;
-    //   (2) misses (404s) come from an anti-join against the
-    //       column-pruned image_id scan — a few MB, not the payloads.
-    // Non-success rows (robots-denied, redirects, retries) bypass the join.
-    val im = images.as[ImageRow]
-    val pendingSuccess = scheduledDs.filter(_.status == CrawlStatus.FETCHED)
-    val others = scheduledDs.filter(_.status != CrawlStatus.FETCHED)
-
-    val withId = pendingSuccess.map(p => (UrlUtil.uuid3(p.url), p)).hint("shuffle_hash")
-    val matched = withId.joinWith(im, withId("_1") === im("image_id"), "inner").map {
-      case ((_, page), img) =>
-        // content always attaches here so the inline parse can decode it;
-        // when fetcher.store.content=false the parse stage strips it before
-        // the table write (reference: FetcherReducer.output:640-652)
-        page.copy(
-          content = img.bytes,
-          contentType = s"image/${img.fmt}",
-          baseUrl = page.url,
-          metadata = page.metadata + ("caption" -> img.caption))
-    }
-
-    import org.apache.spark.sql.functions.col
-    val presentIds = images.select(col("image_id"))
-    // anti-join side is the column-pruned image_id scan only (a few MB of
-    // keys, not payloads); Catalyst plans it — a shuffle_hash hint is NOT
-    // applicable here (no "build left" for left-anti joins)
-    val missing = pendingSuccess
-      .map(p => (UrlUtil.uuid3(p.url), p)).toDF("image_id", "page")
-      .join(presentIds, Seq("image_id"), "left_anti")
-      .select(col("page.*")).as[WebPage]
-      .map(p => p.copy(status = CrawlStatus.GONE,
-        protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L)))
-
-    matched.union(missing).union(others)
+    // Payload attach: ONE left-outer shuffled-hash join, hash built on the
+    // hinted fetchlist side (LeftOuter + BuildLeft SHJ) — the huge payload
+    // side streams through unsorted and unspilled, with the images table
+    // bucketed by image_id (the production layout, see Bench) only the
+    // fetchlist shuffles. Misses (404s) fall out of the same pass as null
+    // right sides — no second consumption of the scheduled fetchlist (a
+    // matched/missing/others 3-branch plan re-ran the whole
+    // shuffle+politeness pipeline once per branch: Dataset exchanges are
+    // not implicitly reused across union branches the way RDD shuffle
+    // files were).
+    // NOTE the right side must stay FLAT (plain image columns, not a
+    // joinWith struct): for outer joins joinWith wraps each side in a
+    // struct, and a struct-projection hides the bucketed scan's
+    // hashpartitioning(image_id) from EnsureRequirements — Spark then
+    // shuffles the whole payload side (measured: 15 GB shuffle write on a
+    // 50k fetchlist). With the flat DataFrame join the bucketed side's
+    // partitioning is recognized and only the fetchlist shuffles.
+    val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p))
+      .toDF("image_id", "page").hint("shuffle_hash")
+    withId.join(images, Seq("image_id"), "left_outer")
+      .select(col("page").as("_1"), col("bytes").as("_2"),
+        col("fmt").as("_3"), col("caption").as("_4"))
+      .as[(WebPage, Array[Byte], String, String)]
+      .map { case (page, bytes, fmt, caption) =>
+        if (page.status != CrawlStatus.FETCHED) page // robots/redirect/retry rows ride along
+        else if (bytes == null)
+          page.copy(status = CrawlStatus.GONE,
+            protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L))
+        else
+          // content always attaches here so the inline parse can decode it;
+          // when fetcher.store.content=false the parse stage strips it
+          // before the table write (reference: FetcherReducer.output:640-652)
+          page.copy(
+            content = bytes,
+            contentType = s"image/$fmt",
+            baseUrl = page.url,
+            metadata = page.metadata + ("caption" -> caption))
+      }
   }
 }
 

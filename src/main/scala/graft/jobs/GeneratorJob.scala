@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.crawl.CrawlConfig
@@ -24,23 +23,10 @@ import graft.url.{RegexUrlFilter, UrlNormalizers, UrlPartitioner, UrlUtil}
   * `mapPartitionsWithIndex` reducer. AQE must not touch this stage: the
   * partition index is part of the normative ordering, so we pin partitioning
   * with an explicit Partitioner rather than letting Catalyst re-plan it.
+  * (A Catalyst-native variant with per-pid-run reduction was built and
+  * measured slower — see generate's shuffle-choice note.)
   */
 object GeneratorJob {
-
-  /** Shuffle key: sorts within a partition by score desc then url asc
-    * (SelectorEntry.compareTo ties, GeneratorJob.java:105-114), then
-    * fetchTime desc — so among equal-score versions of one url the LATEST
-    * version is deterministically the one generated (the reference leaves
-    * this to reducer iteration order; we pin it, SURVEY.md §7.5 risk 1). */
-  case class SelKey(partition: Int, score: Float, url: String, fetchTime: Long)
-
-  implicit val selKeyOrdering: Ordering[SelKey] =
-    Ordering.by((k: SelKey) => (k.partition, -k.score, k.url, -k.fetchTime))
-
-  private final class PidPartitioner(n: Int) extends Partitioner {
-    override def numPartitions: Int = n
-    override def getPartition(key: Any): Int = key.asInstanceOf[SelKey].partition
-  }
 
   /** Map-side candidate: selection url (normalized) + adjusted page. Pure,
     * shared with refsim. Returns None when the row is filtered out. */
@@ -101,6 +87,29 @@ object GeneratorJob {
     }
   }
 
+  /** Shuffle key: sorts within a partition by score desc then url asc
+    * (SelectorEntry.compareTo ties, GeneratorJob.java:105-114), then
+    * fetchTime desc — so among equal-score versions of one url the LATEST
+    * version is deterministically the one generated (the reference leaves
+    * this to reducer iteration order; we pin it, SURVEY.md §7.5 risk 1). */
+  case class SelKey(partition: Int, score: Float, url: String, fetchTime: Long)
+
+  implicit val selKeyOrdering: Ordering[SelKey] =
+    Ordering.by((k: SelKey) => (k.partition, -k.score, k.url, -k.fetchTime))
+
+  private final class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[SelKey].partition
+  }
+
+  /** Shuffle choice, MEASURED (round 2): a Catalyst-native
+    * `repartition(n, pid)` + `sortWithinPartitions` + per-pid-run reducer
+    * was built and benchmarked at 1.2M pages — 13.6 s vs 8.5 s for this
+    * Kryo RDD shuffle. WebPage rows are map-heavy (markers/metadata/
+    * outlinks/inlinks/headers), and the encoder's object<->InternalRow map
+    * conversions on both sides of the exchange cost more than Kryo's
+    * straight field writes. The RDD path also keeps the MR contract
+    * literal: partition-by-pid + external sort + streaming reducer. */
   def generate(spark: SparkSession, frontier: Dataset[WebPage], conf: CrawlConfig,
       curTime: Long, batchId: String, round: Int): Dataset[WebPage] = {
     import spark.implicits._
