@@ -208,6 +208,26 @@ object Queries {
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Near-dup clustering: LSH candidate pairs -> connected components
+    * (min-label propagation) -> per-cluster sizes. The decision step of a
+    * dedup pipeline: keep cluster-min doc, drop the rest. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
+    graft.ops.Dedup.dedupClusters(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Deterministic stratified sampling: membership is a pure function of
+    * md5(key), reproducible across engines — sum(doc_id) pins the exact
+    * sampled set, not just its size. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+
   /** SimHash (16-bit) document fingerprints from token hashes. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.simhash(
@@ -360,6 +380,8 @@ object Queries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
     "q_outlink_extract" -> (qOutlinkExtract _),
@@ -505,6 +527,53 @@ object Queries {
          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          ORDER BY da, db""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
+         ), hx AS (
+           SELECT doc_id, ('0x' || substr(md5(shingle),1,10))::BIGINT AS x FROM sh
+         ), mh AS (
+           SELECT doc_id,
+             min((x*387421 + 12289) % 2305843009213693951) AS mh0,
+             min((x*921043 + 786433) % 2305843009213693951) AS mh1,
+             min((x*450157 + 196613) % 2305843009213693951) AS mh2,
+             min((x*700417 + 402653) % 2305843009213693951) AS mh3,
+             min((x*104729 + 161051) % 2305843009213693951) AS mh4,
+             min((x*999983 + 69857) % 2305843009213693951) AS mh5
+           FROM hx GROUP BY doc_id
+         ), bands AS (
+           SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh
+         ), bcnt AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
+         capped AS (SELECT bands.doc_id, bands.band, bands.sig FROM bands
+                    JOIN bcnt USING (band, sig) WHERE bsz <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         ), edges AS (
+           SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+         ), reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         ), labels AS (
+           SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         SELECT cluster, count(*) AS size FROM labels GROUP BY cluster ORDER BY cluster""",
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,10))::BIGINT % 1000000 <
+               CASE WHEN lang = 'en' THEN 500000
+                    WHEN lang = 'de' THEN 250000
+                    ELSE 100000 END
+         GROUP BY lang ORDER BY lang""",
     "q_dedup_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w

@@ -152,4 +152,70 @@ object Dedup {
   /** Stable 60-bit content fingerprint (rolling-hash family). */
   def fingerprint(textCol: Column): Column =
     conv(substring(md5(lower(textCol)), 1, 15), 16, 10).cast("long")
+
+  /** Connected components over near-duplicate candidate pairs — the step
+    * that turns pairwise candidates into dedup DECISIONS (one canonical doc
+    * per cluster). Iterative min-label propagation: every node starts
+    * labelled with itself; each round takes the min label over its
+    * neighbours; converges to (node, min id of its component) in
+    * O(component diameter) rounds. Near-dup clusters are small and dense,
+    * so the loop is 2-3 shuffles in practice; each round is one join + one
+    * aggregate, all-Catalyst (the Pregel-style driver loop only counts
+    * changes). Returns (node, cluster) where cluster = min node id of the
+    * component. */
+  def dedupClusters(pairs: DataFrame, aCol: String = "da", bCol: String = "db",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges
+        .join(labels.select(col("node").as("src"), col("label").as("slabel")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
+      val next = labels.join(prop, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+}
+
+/** Deterministic sampling for training-data pipelines: membership is a pure
+  * function of the row's key (md5-derived), so samples are reproducible
+  * across runs/engines/cluster sizes and composable (a 1% sample of a 10%
+  * sample is the 0.1% sample) — unlike rand()-based sampling, which is
+  * neither replayable nor engine-portable.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform keyed sample: keeps rows whose hash bucket < rate * 10^6. */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.where(Dedup.hash40(col(keyCol).cast("string")) % Buckets < (rate * Buckets).toLong)
+
+  /** Stratified deterministic sample: per-stratum rates. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val bucket = Dedup.hash40(col(keyCol).cast("string")) % Buckets
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
 }

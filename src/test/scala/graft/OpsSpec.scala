@@ -52,6 +52,38 @@ class OpsSpec extends AnyFunSuite {
     assert(video.forall(v => v.n_frames > 0 && v.frame_phashes.length == v.n_frames))
   }
 
+  test("dedup clusters: connected components over candidate pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3} chain, {10,11}, {20,21,22} cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("da", "db")
+    val got = graft.ops.Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // long path (diameter 6) still converges
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("da", "db")
+    val gotPath = graft.ops.Dedup.dedupClusters(path).collect()
+    assert(gotPath.forall(_.getLong(1) == 0L))
+  }
+
+  test("deterministic sampling: reproducible and composable") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val s20 = graft.ops.Sampling.sampleByHash(docs, "doc_id", 0.2)
+    val s20Again = graft.ops.Sampling.sampleByHash(docs, "doc_id", 0.2)
+    assert(s20.collect().map(_.getLong(0)).sorted.sameElements(
+      s20Again.collect().map(_.getLong(0)).sorted), "sampling must be replayable")
+    // a 5% sample is a subset of the 20% sample (nested thresholds)
+    val s05 = graft.ops.Sampling.sampleByHash(docs, "doc_id", 0.05)
+      .collect().map(_.getLong(0)).toSet
+    val s20Set = s20.collect().map(_.getLong(0)).toSet
+    assert(s05.subsetOf(s20Set))
+    // rate is approximately honored
+    assert(math.abs(s20Set.size - 100) < 40, s"20% of 500 docs ~ 100, got ${s20Set.size}")
+  }
+
   test("rhp ANN: recall >= 0.9 on near-duplicates at >= 16x candidate reduction") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
