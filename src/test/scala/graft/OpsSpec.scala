@@ -141,5 +141,33 @@ class OpsSpec extends AnyFunSuite {
       val total2 = spark.sql("select * from crawl_status_live").collect().map(_.getLong(1)).sum
       assert(total2 > total, s"stream should see round-2 snapshots ($total2 vs $total)")
     } finally q.stop()
+
+    // stateful per-host monitor: mapGroupsWithState accumulates across
+    // micro-batches and tracks the consecutive-error streak
+    val stream2 = graft.streaming.CrawlStream.frontierStream(spark, dir)
+    val hq = graft.streaming.CrawlStream.startUpdateSink(
+      graft.streaming.CrawlStream.hostHealthStream(spark, stream2), "host_health_live")
+    try {
+      hq.processAllAvailable()
+      val health = spark.sql(
+        "select host, max(fetched) from host_health_live group by host").collect()
+      assert(health.length == 3, s"3 hosts expected, got ${health.length}")
+      assert(health.map(_.getLong(1)).sum > 0, "fetched counts should accumulate")
+    } finally hq.stop()
+
+    // watermarked event-time windows close and emit in append mode
+    val stream3 = graft.streaming.CrawlStream.frontierStream(spark, dir)
+    val wdf = graft.streaming.CrawlStream.windowedFetchRate(stream3,
+      window = "1 hour", watermark = "1 hour")
+    val wq = wdf.writeStream.format("memory").queryName("fetch_rate_live")
+      .outputMode("append").start()
+    try {
+      wq.processAllAvailable()
+      // append-mode rows only materialize once the watermark passes the
+      // window; the 2-round crawl spans 2 virtual days, so round-1 windows
+      // are closed by round-2 event times
+      val wrows = spark.sql("select * from fetch_rate_live").collect()
+      assert(wrows.nonEmpty, "watermark should have closed round-1 windows")
+    } finally wq.stop()
   }
 }
