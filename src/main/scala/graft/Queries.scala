@@ -289,6 +289,21 @@ object Queries {
       .orderBy(col("qid"))
   }
 
+  /** IVF ANN with a FIXED coarse quantizer (corpus seed vectors as
+    * centroids) so DuckDB reproduces the identical inverted lists — the
+    * trained (Lloyd's) quantizer path is spec-verified for recall in
+    * OpsSpec; this oracle pins the inverted-list partitioning + nProbe
+    * search semantics. */
+  private def qEmbedIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1).cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("centroid"))
+    graft.ops.Similarity.ivfNearest(
+      emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+      centroids, "vec_id", "embedding", nProbe = 2, k = 3)
+  }
+
   /** B6: DFA-compiled URL filter (automaton plugin shape) applied to a
     * synthesized url mix — whole-string DFA matching, first-match-decides
     * +/- rule order; DuckDB mirrors with regexp_full_match in the same rule
@@ -390,6 +405,7 @@ object Queries {
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_embed_lsh_ann" -> (qEmbedLshAnn _),
     "q_embed_rhp_ann" -> (qEmbedRhpAnn _),
+    "q_embed_ivf_ann" -> (qEmbedIvfAnn _),
     "q_urlfilter_automaton" -> (qUrlfilterAutomaton _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
@@ -675,6 +691,41 @@ object Queries {
          SELECT qid, cid AS neighbor, sim, rn FROM (
            SELECT qid, cid, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           FROM sims)
+         WHERE rn <= 3 ORDER BY qid, rn""",
+    "q_embed_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         cent AS (SELECT CAST(vec_id + 1 AS INT) AS cid, embedding AS centroid
+                  FROM e WHERE vec_id < 8),
+         csim AS (
+           SELECT c.vec_id AS vid, cent.cid,
+             round(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * cent.centroid[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> cent.centroid[i]::DOUBLE * cent.centroid[i]::DOUBLE))), 6) AS csim
+           FROM e c, cent WHERE c.vec_id >= 10),
+         ca AS (SELECT vid, cid FROM (
+           SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crn
+           FROM csim) WHERE crn = 1),
+         psim AS (
+           SELECT p.vec_id AS qid, cent.cid,
+             round(list_sum(list_transform(range(1, 65), i -> p.embedding[i]::DOUBLE * cent.centroid[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> cent.centroid[i]::DOUBLE * cent.centroid[i]::DOUBLE))), 6) AS csim
+           FROM e p, cent WHERE p.vec_id < 10),
+         pl AS (SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS crn
+           FROM psim) WHERE crn <= 2),
+         sims AS (
+           SELECT pl.qid, ca.vid AS cand,
+             round(list_sum(list_transform(range(1, 65), i -> pe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> pe.embedding[i]::DOUBLE * pe.embedding[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))), 3) AS sim
+           FROM pl JOIN ca USING (cid)
+           JOIN e pe ON pe.vec_id = pl.qid
+           JOIN e ce ON ce.vec_id = ca.vid)
+         SELECT qid, cand AS neighbor, sim, rn FROM (
+           SELECT qid, cand, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cand) AS rn
            FROM sims)
          WHERE rn <= 3 ORDER BY qid, rn""",
     "q_urlfilter_automaton" ->

@@ -97,6 +97,97 @@ object Similarity {
     p.join(c, Seq("tbl", "bucket")).select(col("qid"), col("cid")).distinct()
   }
 
+  // --------------------------------------------------------------- IVF ANN
+
+  /** L2-normalize an embedding column (cosine becomes dot product). */
+  def l2normalize(embCol: Column): Column = {
+    val norm = sqrt(aggregate(zip_with(embCol, embCol, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v))
+    transform(embCol, x => x / norm)
+  }
+
+  /** Deterministic Lloyd's k-means coarse quantizer over normalized
+    * vectors: init = the k corpus vectors with the smallest md5-derived id
+    * hash (deterministic, no RNG state), then `iters` rounds of
+    * assign-to-nearest + elementwise-mean. Each round is one broadcast
+    * cross join + two aggregations — all Catalyst; the driver loop only
+    * holds the (tiny) centroid table. Returns (cid, centroid). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val spark = corpus.sparkSession
+    val cSchema = StructType(Seq(StructField("cid", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    def centroidDf(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.toList.asJava, cSchema)
+
+    val e = corpus.select(col(idCol).as("vid"),
+      l2normalize(col(embCol).cast("array<double>")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: the k corpus vectors with the smallest id hash — a distributed
+    // top-k, never a global single-partition window
+    val seeds = e.orderBy(graft.ops.Dedup.hash40(col("vid").cast("string")), col("vid"))
+      .limit(k).select(col("e")).collect()
+    var centroids = centroidDf(seeds.zipWithIndex.toSeq.map { case (r, i) =>
+      Row(i + 1, r.getSeq[Double](0))
+    })
+    for (_ <- 1 to iters) {
+      val next = assignToCentroids(e, centroids)
+        .select(col("cid"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+      // centroid table is tiny; pin it driver-side per iteration
+      centroids = centroidDf(next.toSeq.map(r => Row(r.getInt(0), r.getSeq[Double](1))))
+    }
+    e.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast cross join + rank (rounded sim
+    * + cid tie-break so the argmin is engine-stable). */
+  private def assignToCentroids(e: DataFrame, centroids: DataFrame,
+      decimals: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("e"), col("centroid")), decimals))
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") === 1)
+      .select(col("vid"), col("e"), col("cid"))
+  }
+
+  /** IVF approximate nearest neighbour: corpus vectors live in inverted
+    * lists keyed by their nearest centroid; a probe scans only the lists of
+    * its `nProbe` nearest centroids — candidates ~ nProbe/k of the corpus,
+    * shuffled once by cid. `centroids` is pluggable: kmeansCentroids
+    * output, or any fixed quantizer (the driver oracle uses corpus seed
+    * vectors so DuckDB reproduces the identical partitioning). */
+  def ivfNearest(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, nProbe: Int = 2, k: Int = 5,
+      decimals: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("e"))
+    val lists = assignToCentroids(c, centroids)
+      .select(col("cid"), col("vid").as("cand"), col("e"))
+    val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+    val wP = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("crn", row_number().over(wP))
+      .where(col("crn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
+    probeLists.join(lists, Seq("cid"))
+      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("cand").as("neighbor"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Random-hyperplane ANN top-k: bucket-join candidates, exact cosine on
     * the candidate set only. */
   def rhpNearest(corpus: DataFrame, probes: DataFrame, idCol: String,

@@ -84,6 +84,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(s20Set.size - 100) < 40, s"20% of 500 docs ~ 100, got ${s20Set.size}")
   }
 
+  test("IVF ANN: trained quantizer, recall >= 0.9 on near-duplicates at >= 4x reduction") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rnd = new scala.util.Random(7)
+    val probes = corpus.where(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { case (id, e) =>
+        val norm = math.sqrt(e.map(x => x * x).sum)
+        (id, e.map(x => x + 0.25 * norm / math.sqrt(64) * rnd.nextGaussian()).toSeq)
+      }.toSeq.toDF("vec_id", "embedding")
+    val truth = Similarity.cosineTopK(corpus, probes, "vec_id", "embedding", 1)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val k = 16
+    val centroids = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k, iters = 3)
+    assert(centroids.count() == k)
+    // with nProbe=4 of 16 lists, candidates ~ 1/4 of the corpus
+    val got = Similarity.ivfNearest(corpus, probes, centroids, "vec_id", "embedding",
+      nProbe = 4, k = 5)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, f"IVF recall only $recall%.2f")
+  }
+
   test("rhp ANN: recall >= 0.9 on near-duplicates at >= 16x candidate reduction") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
