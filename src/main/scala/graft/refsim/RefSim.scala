@@ -102,11 +102,8 @@ final class RefSim(
         val decision = FetcherJob.decide(p, env, conf)
         (PolitenessScheduler.queueIdOf(p.url), (p, decision))
       }
-      val delayFor: String => Long = { qid =>
-        val host = qid.substring(qid.indexOf("://") + 3)
-        val o = env.robotsFor(host).crawlDelayMs
-        if (o > 0) o else conf.fetcherServerDelayMs
-      }
+      // the exact policy the Spark fetcher uses (incl. threads.per.queue)
+      val delayFor: String => Long = qid => FetcherJob.queueDelayMs(qid, env, conf)
       PolitenessScheduler.schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
         item => item._2._2 != ProtocolStatusCodes.ROBOTS_DENIED)
         .filter(sch => conf.fetcherTimelimitMs < 0 || sch.virtualTimeMs < conf.fetcherTimelimitMs)
