@@ -40,6 +40,12 @@ case class CrawlConfig(
     // scheduled virtual time exceeds this are dropped from the round's
     // queues (they stay generated and re-enter a later fetchlist); -1 = off
     fetcherTimelimitMs: Long = -1,
+    // fetcher.throughput.threshold.pages / .sequence analogue: if the
+    // scheduled fetch rate stays below thresholdPages/sec for MORE than
+    // `seq` consecutive 5s windows of the virtual clock, the rest of the
+    // round's queues are emptied (items stay due); -1 = off
+    fetcherThroughputThresholdPages: Int = -1,
+    fetcherThroughputThresholdSeq: Int = 5,
     storingContent: Boolean = true, // fetcher.store.content
     // parse
     maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page

@@ -27,7 +27,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|linkdb|compact> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -92,6 +92,21 @@ object CrawlMain {
         } else {
           ReadDbJob.dump(pagesDf, arg(args, "regex")).show(50, truncate = false)
         }
+      case "hostdb" =>
+        val t = new graft.table.SnapshotTable(table)
+        graft.jobs.HostDbJob.hostStats(spark, t.currentView(spark).drop("snapshot_id"))
+          .show(100, truncate = false)
+      case "linkdb" =>
+        import spark.implicits._
+        val t = new graft.table.SnapshotTable(table)
+        val pagesDs = t.currentView(spark).drop("snapshot_id").as[graft.model.WebPage]
+        val edges = graft.jobs.LinkDb.edges(spark, pagesDs)
+        arg(args, "out") match {
+          case Some(out) => edges.toDF().write.mode("overwrite").parquet(out)
+          case None => graft.jobs.LinkDb.inlinkStats(edges).show(50, truncate = false)
+        }
+      case "compact" =>
+        new graft.table.SnapshotTable(table).compact(spark, round)
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }

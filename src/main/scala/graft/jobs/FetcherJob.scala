@@ -81,6 +81,43 @@ object FetcherJob {
   private def consumesDelay(statusAndCode: (Int, Int)): Boolean =
     statusAndCode._2 != ProtocolStatusCodes.ROBOTS_DENIED
 
+  /** fetcher.throughput.threshold kill-switch on the virtual clock
+    * (reference FetcherReducer.java:796-856: every 5 s compute pages/sec;
+    * below threshold bumps a streak counter, above resets it; a streak
+    * LONGER than `seqMax` empties the queues — dropped items stay due).
+    * Virtual analogue: close 5-virtual-second windows as items stream out
+    * of the scheduler; once killed, the remaining schedule is dropped. */
+  def throughputKill[T](it: Iterator[PolitenessScheduler.Scheduled[T]],
+      thresholdPages: Int, seqMax: Int,
+      windowMs: Long = 5000L): Iterator[PolitenessScheduler.Scheduled[T]] = {
+    if (thresholdPages < 0) return it
+    val b = it.buffered
+    new Iterator[PolitenessScheduler.Scheduled[T]] {
+      private var killed = false
+      private var windowEnd = windowMs
+      private var count = 0L
+      private var streak = 0
+      override def hasNext: Boolean = {
+        if (killed || !b.hasNext) return false
+        while (!killed && b.head.virtualTimeMs >= windowEnd) {
+          val rate = count * 1000.0 / windowMs
+          if (rate < thresholdPages) {
+            streak += 1
+            if (streak > seqMax) killed = true
+          } else streak = 0
+          count = 0
+          windowEnd += windowMs
+        }
+        !killed
+      }
+      override def next(): PolitenessScheduler.Scheduled[T] = {
+        if (!hasNext) throw new NoSuchElementException
+        count += 1
+        b.next()
+      }
+    }
+  }
+
   /** Per-queue politeness gate (reference FetchItemQueue.setEndTime:219-224):
     * with fetcher.threads.per.queue > 1 the gate is fetcher.server.min.delay
     * regardless of crawl delay (multiple connections per host are allowed,
@@ -124,9 +161,11 @@ object FetcherJob {
         (PolitenessScheduler.queueIdOf(p.url), (p, decision))
       }
       val delayFor: String => Long = qid => queueDelayMs(qid, e, c)
-      PolitenessScheduler
+      val sched = PolitenessScheduler
         .schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
           item => consumesDelay((item._2._1, item._2._2)))
+      // fetcher.throughput.threshold kill-switch (E5)
+      throughputKill(sched, c.fetcherThroughputThresholdPages, c.fetcherThroughputThresholdSeq)
         // fetcher.timelimit analogue (E5): over-time items are dropped from
         // the round (queues emptied); they stay generated and become due
         // again next round (FetcherReducer.java:369-374 semantics)

@@ -104,8 +104,10 @@ final class RefSim(
       }
       // the exact policy the Spark fetcher uses (incl. threads.per.queue)
       val delayFor: String => Long = qid => FetcherJob.queueDelayMs(qid, env, conf)
-      PolitenessScheduler.schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
-        item => item._2._2 != ProtocolStatusCodes.ROBOTS_DENIED)
+      FetcherJob.throughputKill(
+        PolitenessScheduler.schedule[(WebPage, (Int, Int, WebPage))](items, delayFor,
+          item => item._2._2 != ProtocolStatusCodes.ROBOTS_DENIED),
+        conf.fetcherThroughputThresholdPages, conf.fetcherThroughputThresholdSeq)
         .filter(sch => conf.fetcherTimelimitMs < 0 || sch.virtualTimeMs < conf.fetcherTimelimitMs)
         .map { sch =>
         val (orig, (status, pcode, effected)) = sch.payload

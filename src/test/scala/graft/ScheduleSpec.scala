@@ -93,6 +93,25 @@ class ScheduleSpec extends AnyFunSuite {
     assert(FetcherJob.queueDelayMs("http://other.test", env, multi) == 100)
   }
 
+  test("fetcher.throughput.threshold kills the round after a sustained low-rate streak") {
+    import graft.jobs.{FetcherJob, PolitenessScheduler}
+    def sched(times: Seq[Long]) = times.zipWithIndex.map { case (t, i) =>
+      PolitenessScheduler.Scheduled(i, "q", t, i)
+    }
+    // two fast 5s windows at 20 items/s, then a 1-item-per-window trickle
+    val fast = (0 until 200).map(i => i * 50L)
+    val slow = (0 until 10).map(i => 10000L + i * 5000L)
+    val all = sched(fast ++ slow)
+    // threshold 10/s, seq 2: the reference kills when the streak EXCEEDS
+    // seq, i.e. when the 3rd consecutive low window closes
+    val out = FetcherJob.throughputKill(all.iterator, thresholdPages = 10, seqMax = 2).toSeq
+    assert(out.size == 203, s"expected 200 fast + 3 slow before the kill, got ${out.size}")
+    // disabled (-1): everything survives
+    assert(FetcherJob.throughputKill(all.iterator, -1, 2).size == all.size)
+    // never below threshold: everything survives
+    assert(FetcherJob.throughputKill(sched(fast).iterator, 10, 2).size == fast.size)
+  }
+
   test("politeness heap handles a 100k-item / 10k-host partition fast") {
     // the old per-item linear scan over all queues was O(items x hosts) —
     // ~10^9 probe steps here; the ready/pending heap pair is O(n log q)
