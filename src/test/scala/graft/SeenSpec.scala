@@ -70,6 +70,18 @@ class SeenSpec extends AnyFunSuite {
     assert(hex("Hello, world!") == (0xf1512dd1d2d665dfL, 0x2c326650a8f3c564L))
   }
 
+  test("seen-set bank checkpoints to a Hadoop-FS path and loads back") {
+    val dir = SparkTestBase.tmpDir("seen-ckpt")
+    val seen = BloomSeen.empty(numParts = 4, expectedItems = 10000, fpp = 0.01)
+    val keys = (0 until 5000).map(i => s"http://h${i % 37}.example/p$i")
+    keys.foreach(seen.add)
+    BloomSeen.save(seen, s"$dir/seen.bloom")
+    val loaded = BloomSeen.load(s"$dir/seen.bloom")
+    assert(keys.forall(loaded.mightContain), "no false negatives after roundtrip")
+    val fps = (5000 until 10000).count(i => loaded.mightContain(s"http://absent/$i"))
+    assert(fps < 250, s"fpp degraded after roundtrip: $fps/5000")
+  }
+
   test("cuckoo filter: insert, lookup, delete") {
     val cf = CuckooFilter.sized(10000)
     val keys = (0 until 8000).map(i => s"url-$i")
