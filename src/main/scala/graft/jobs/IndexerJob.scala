@@ -15,17 +15,25 @@ import graft.model.{CrawlStatus, Marks}
 object IndexerJob {
 
   def buildDocs(pages: DataFrame, batchId: Option[String] = None,
-      scorePower: Double = 0.5): DataFrame = {
+      scorePower: Double = 0.5, deduplicateAnchors: Boolean = false): DataFrame = {
     val parsed = pages.where(
       col("status") === CrawlStatus.FETCHED &&
         element_at(col("markers"), Marks.PARSE).isNotNull &&
         batchId.map(b => element_at(col("markers"), Marks.PARSE) === b)
           .getOrElse(lit(true)))
+    // inbound anchor texts (reference: index-anchor AnchorIndexingFilter
+    // .filter:75-100 — every non-empty inlink anchor, optionally
+    // case-insensitively deduplicated)
+    val rawAnchors = filter(map_values(col("inlinks")), a => a =!= "")
+    val anchors =
+      if (deduplicateAnchors) array_distinct(transform(rawAnchors, a => lower(a)))
+      else rawAnchors
     parsed.select(
       col("key").as("doc_key"),
       col("url"),
       col("title"),
       col("text"),
+      anchors.as("anchors"),
       col("contentType").as("content_type"),
       col("fetchTime").as("fetch_time"),
       hex(col("signature")).as("signature"),

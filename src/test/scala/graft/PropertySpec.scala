@@ -124,6 +124,36 @@ object GraftProperties extends Properties("graft") {
     out.toSeq
   }
 
+  private val rxAlphabet = "abc01"
+
+  /** Random regex in the DFA engine's supported subset, rendered as a
+    * string both engines parse identically. */
+  private def rxGen(depth: Int): Gen[String] =
+    if (depth <= 0)
+      Gen.oneOf(
+        Gen.oneOf(rxAlphabet.toSeq).map(_.toString),
+        Gen.const("."),
+        Gen.const("\\."),
+        Gen.oneOf("[ab]", "[a-c]", "[^ab]", "[0-1a]"))
+    else
+      Gen.frequency(
+        3 -> rxGen(0),
+        2 -> (for { a <- rxGen(depth - 1); b <- rxGen(depth - 1) } yield a + b),
+        2 -> (for { a <- rxGen(depth - 1); b <- rxGen(depth - 1) } yield s"($a|$b)"),
+        1 -> rxGen(depth - 1).map(a => s"($a)*"),
+        1 -> rxGen(depth - 1).map(a => s"($a)+"),
+        1 -> rxGen(depth - 1).map(a => s"($a)?"))
+
+  property("DFA engine agrees with java.util.regex full match on the supported subset") =
+    forAll(rxGen(3), Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf((rxAlphabet + "./").toSeq))
+      .map(_.mkString))) { (re, inputs) =>
+      val dfa = graft.url.RegexDfa.compile(re)
+      val jre = java.util.regex.Pattern.compile(re)
+      inputs.forall { in =>
+        dfa.matches(in) == jre.matcher(in).matches()
+      } && dfa.matches("") == jre.matcher("").matches()
+    }
+
   property("politeness heap emits byte-identical order to the linear-scan rule") =
     forAll(Gen.listOfN(200, Gen.choose(0, 12)), Gen.choose(0L, 40L), Gen.long) {
       (hostIdx, delay, seed) =>
