@@ -31,3 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "72g")}",
 )
+// Benchmark JVMs (runMain graft.Bench / Verify) pre-commit and pre-touch the
+// heap: lazy heap expansion means the first big crawl round pays tens of
+// seconds of kernel page-zeroing (measured: first 1.2M-page fetch 102s vs
+// 13s warm), which would otherwise be misattributed to the engine. Tests
+// keep the lazy heap (a pretouched 72g per test fork is pure startup cost).
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "72g")}",
+  "-XX:+AlwaysPreTouch",
+)

@@ -135,6 +135,15 @@ object FetcherJob {
   def fetch(spark: SparkSession, generated: Dataset[WebPage], images: DataFrame,
       env: FetchEnv, conf: CrawlConfig, batchId: String, curTime: Long,
       round: Int): Dataset[WebPage] = {
+    val scheduledDs = scheduleFetchlist(spark, generated, env, conf, batchId, curTime, round)
+    attachPayloads(spark, scheduledDs, images)
+  }
+
+  /** Stage 1: select the batch, shuffle by salted host, schedule politeness
+    * per partition; returns fetch outcomes WITHOUT payloads. */
+  def scheduleFetchlist(spark: SparkSession, generated: Dataset[WebPage],
+      env: FetchEnv, conf: CrawlConfig, batchId: String, curTime: Long,
+      round: Int): Dataset[WebPage] = {
     import spark.implicits._
     val c = conf
     val e = env
@@ -184,9 +193,11 @@ object FetcherJob {
             metadata = effected.metadata + (FetcherJobKeys.FetchSeq -> sch.seq.toString))
         }
     }
-    val scheduledDs = spark.createDataset(scheduled)
+    spark.createDataset(scheduled)
+  }
 
-    // Payload attach: ONE left-outer shuffled-hash join, hash built on the
+  /** Stage 2: payload attach.
+    * ONE left-outer shuffled-hash join, hash built on the
     // hinted fetchlist side (LeftOuter + BuildLeft SHJ) — the huge payload
     // side streams through unsorted and unspilled, with the images table
     // bucketed by image_id (the production layout, see Bench) only the
@@ -196,13 +207,18 @@ object FetcherJob {
     // shuffle+politeness pipeline once per branch: Dataset exchanges are
     // not implicitly reused across union branches the way RDD shuffle
     // files were).
+    //
     // NOTE the right side must stay FLAT (plain image columns, not a
     // joinWith struct): for outer joins joinWith wraps each side in a
     // struct, and a struct-projection hides the bucketed scan's
     // hashpartitioning(image_id) from EnsureRequirements — Spark then
     // shuffles the whole payload side (measured: 15 GB shuffle write on a
     // 50k fetchlist). With the flat DataFrame join the bucketed side's
-    // partitioning is recognized and only the fetchlist shuffles.
+    // partitioning is recognized and only the fetchlist shuffles. */
+  def attachPayloads(spark: SparkSession, scheduledDs: Dataset[WebPage],
+      images: DataFrame): Dataset[WebPage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val withId = scheduledDs.map(p => (UrlUtil.uuid3(p.url), p))
       .toDF("image_id", "page").hint("shuffle_hash")
     withId.join(images, Seq("image_id"), "left_outer")
