@@ -256,6 +256,30 @@ object Queries {
       .groupBy(col("url")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("url"))
 
+  /** Link/edge table (FrontierJob analogue): materialize the edge stream
+    * from page outlink maps (LinkDb.edges — one narrow explode, no shuffle)
+    * and aggregate per-target inlink stats (LinkDb.inlinkStats) — the
+    * anchor-text / graph-analytics surface, driver-verified. Pages are
+    * synthesized deterministically from `documents` so DuckDB replicates
+    * the exact edge stream. */
+  private def qLinkdbInlinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val outlinks = (1 to 3).map { k =>
+          s"http://h${(id + k) % 20}.example.com/p/${(id * 31 + k) % 1000}.html" ->
+            s"anchor-$k"
+        }.toMap
+        graft.model.WebPage(
+          url = s"http://h${id % 20}.example.com/p/$id.html",
+          score = (id % 7).toFloat * 0.5f,
+          outlinks = outlinks,
+          markers = Map(graft.model.Marks.DISTANCE -> (id % 4).toString))
+      }
+    graft.jobs.LinkDb.inlinkStats(graft.jobs.LinkDb.edges(s, pages))
+  }
+
   /** Language/quality scoring: token counts, stopword ratio, char stats. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.qualityByLang(t(s, dir, "documents"), "text", "lang", "n_chars")
@@ -400,6 +424,7 @@ object Queries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
     "q_outlink_extract" -> (qOutlinkExtract _),
+    "q_linkdb_inlinks" -> (qLinkdbInlinks _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -421,7 +446,7 @@ object Queries {
     "q_retry_histogram" ->
       "SELECT l_linenumber AS bucket, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_generate_topk" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, CAST(rn AS INTEGER) AS rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
@@ -615,6 +640,21 @@ object Queries {
         graft.url.OutlinkExtractor.UrlPattern +
         """')) AS url FROM payloads)
          SELECT url, count(*) AS cnt FROM u GROUP BY url ORDER BY url"""),
+    "q_linkdb_inlinks" ->
+      """WITH links AS (
+           SELECT 'http://h' || ((doc_id + k) % 20) || '.example.com/p/' ||
+                    ((doc_id * 31 + k) % 1000) || '.html' AS out_url,
+                  'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id ||
+                    '.html' AS in_url,
+                  (doc_id % 7) * 0.5 AS score,
+                  (doc_id % 4) AS distance
+           FROM documents, unnest([1,2,3]) AS t(k)
+         )
+         SELECT out_url AS out, count(*) AS n_inlinks,
+                count(DISTINCT in_url) AS n_sources,
+                round(sum(score), 3) AS inbound_score,
+                CAST(min(distance) AS INTEGER) AS min_distance
+         FROM links GROUP BY out_url ORDER BY out_url""",
     "q_text_quality" ->
       """SELECT lang, count(*) AS cnt,
                 round(avg(len(regexp_split_to_array(lower(text),'\s+'))), 4) AS avg_tokens,
@@ -639,7 +679,7 @@ object Queries {
                     list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
              , 3) AS sim
            FROM probes, e WHERE vec_id >= 5)
-         SELECT qid, vec_id AS neighbor, sim, rn FROM (
+         SELECT qid, vec_id AS neighbor, sim, CAST(rn AS INTEGER) AS rn FROM (
            SELECT qid, vec_id, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
            FROM sims) WHERE rn <= 5 ORDER BY qid, rn""",
@@ -688,7 +728,7 @@ object Queries {
                sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) *
                     list_sum(list_transform(range(1, 65), i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 3) AS sim
            FROM cands JOIN pv USING (qid) JOIN cv USING (cid))
-         SELECT qid, cid AS neighbor, sim, rn FROM (
+         SELECT qid, cid AS neighbor, sim, CAST(rn AS INTEGER) AS rn FROM (
            SELECT qid, cid, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
            FROM sims)
@@ -723,7 +763,7 @@ object Queries {
            FROM pl JOIN ca USING (cid)
            JOIN e pe ON pe.vec_id = pl.qid
            JOIN e ce ON ce.vec_id = ca.vid)
-         SELECT qid, cand AS neighbor, sim, rn FROM (
+         SELECT qid, cand AS neighbor, sim, CAST(rn AS INTEGER) AS rn FROM (
            SELECT qid, cand, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cand) AS rn
            FROM sims)

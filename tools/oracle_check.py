@@ -18,6 +18,13 @@ for name, sql in sorted(oracle.items()):
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             fails.append((name, f"cols {list(g.columns)} vs {list(w.columns)}")); continue
+        # The driver's hash compare is dtype-sensitive (round-1 lesson:
+        # DuckDB HUGEINT -> float64 vs Spark int64 fails the hash even when
+        # every value matches), so dtype mismatches are failures here too.
+        bad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+               if g[c].dtype != w[c].dtype]
+        if bad:
+            fails.append((name, f"dtypes {bad}")); continue
         if len(g) != len(w):
             fails.append((name, f"rows {len(g)} vs {len(w)}")); continue
         ok = True
