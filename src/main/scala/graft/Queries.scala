@@ -280,6 +280,58 @@ object Queries {
     graft.jobs.LinkDb.inlinkStats(graft.jobs.LinkDb.edges(s, pages))
   }
 
+  /** Embedding-cosine near-dup: deterministic perturbed twins (double-math
+    * replicable in SQL) unioned into the corpus, then RHP-bucket candidate
+    * pairs + exact-cosine confirm >= 0.95 — the oracle recomputes the
+    * identical hyperplanes, twins, and threshold, proving the whole
+    * LSH-candidate/exact-confirm dedup path engine-portable. */
+  private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // two selects: aliasing vec_id+10000 in the same select would shadow
+    // the lambda's col("vec_id") via Spark 4 lateral alias resolution
+    val twins = e.where(col("vec_id") < 40)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + lit(0.03) * (((col("vec_id") + i) % 3 - 1)).cast("double"))
+          .as("embedding"))
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    graft.ops.Similarity.cosineNearDupPairs(e.union(twins), "vec_id", "embedding",
+      dim = 64, threshold = 0.95, nBits = 8, nTables = 2)
+  }
+
+  /** Language-ID heuristic (n-gram/function-word scoring): deterministic
+    * per-language markers are appended from the lang column (simulating
+    * language-typical text), then detectLang must recover the language from
+    * the PAYLOAD alone; output is the lang x predicted confusion matrix. */
+  private def qLangDetect(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(col("text"), lit(" "), expr(
+      """repeat(CASE lang
+           WHEN 'de' THEN 'der und die das ist nicht ein '
+           WHEN 'en' THEN 'the and of to is in that '
+           WHEN 'es' THEN 'el los las es una y que '
+           WHEN 'fr' THEN 'le la les et est une dans '
+           ELSE '的 是 了 在 不 有 这 ' END, 3)"""))
+    t(s, dir, "documents")
+      .withColumn("payload", payload)
+      .select(col("lang"),
+        graft.ops.TextAnalysis.detectLang(col("payload")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** BPE-ish regex token counting (GPT-2 pre-tokenizer shape, lookahead-free
+    * so Java regex and RE2 agree), summed per source. */
+  private def qTokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(graft.ops.TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+          .as("total_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   /** Language/quality scoring: token counts, stopword ratio, char stats. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.qualityByLang(t(s, dir, "documents"), "text", "lang", "n_chars")
@@ -425,6 +477,9 @@ object Queries {
     "q_fingerprint" -> (qFingerprint _),
     "q_outlink_extract" -> (qOutlinkExtract _),
     "q_linkdb_inlinks" -> (qLinkdbInlinks _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_lang_detect" -> (qLangDetect _),
+    "q_token_count_bpe" -> (qTokenCountBpe _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -655,6 +710,75 @@ object Queries {
                 round(sum(score), 3) AS inbound_score,
                 CAST(min(distance) AS INTEGER) AS min_distance
          FROM links GROUP BY out_url ORDER BY out_url""",
+    "q_embed_neardup" ->
+      """WITH e0 AS (
+           SELECT vec_id, list_transform(range(1,65), i -> embedding[i]::DOUBLE) AS e
+           FROM embeddings),
+         tw AS (
+           SELECT vec_id + 10000 AS tid,
+                  list_transform(range(1,65), i ->
+                    embedding[i]::DOUBLE + 0.03::DOUBLE * ((((vec_id + i - 1) % 3) - 1)::DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 40),
+         u AS (SELECT vec_id, e FROM e0 UNION ALL SELECT tid AS vec_id, e FROM tw),
+         b AS (
+           SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM (
+             SELECT vec_id, t, j,
+               CASE WHEN list_sum(list_transform(range(0, 64), i -> e[i+1] *
+                 (CASE WHEN (('0x' || substr(md5(t::VARCHAR || '_' || j::VARCHAR || '_' || i::VARCHAR), 1, 2))::INT % 2) = 0
+                  THEN 1.0 ELSE -1.0 END)))
+                 > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+             FROM u, range(0, 2) s(t), range(0, 8) v(j))
+           GROUP BY vec_id, t),
+         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket
+                                   AND l.vec_id < r.vec_id),
+         av AS (SELECT vec_id AS a, e AS ea FROM u),
+         bv AS (SELECT vec_id AS b, e AS eb FROM u),
+         sims AS (
+           SELECT a, b,
+             round(list_sum(list_transform(range(1, 65), i -> ea[i] * eb[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> ea[i] * ea[i])) *
+                    list_sum(list_transform(range(1, 65), i -> eb[i] * eb[i]))), 3) AS sim
+           FROM cand JOIN av USING (a) JOIN bv USING (b))
+         SELECT a, b, sim FROM sims WHERE sim >= 0.95 ORDER BY a, b""",
+    "q_lang_detect" ->
+      """WITH p AS (
+           SELECT lang, text || ' ' || repeat(CASE lang
+             WHEN 'de' THEN 'der und die das ist nicht ein '
+             WHEN 'en' THEN 'the and of to is in that '
+             WHEN 'es' THEN 'el los las es una y que '
+             WHEN 'fr' THEN 'le la les et est une dans '
+             ELSE '的 是 了 在 不 有 这 ' END, 3) AS payload
+           FROM documents),
+         sc AS (
+           SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(payload), '\s+'),
+               w -> w IN ('der','und','die','das','ist','nicht','ein'))) AS s_de,
+             len(list_filter(regexp_split_to_array(lower(payload), '\s+'),
+               w -> w IN ('the','and','of','to','is','in','that'))) AS s_en,
+             len(list_filter(regexp_split_to_array(lower(payload), '\s+'),
+               w -> w IN ('el','los','las','es','una','y','que'))) AS s_es,
+             len(list_filter(regexp_split_to_array(lower(payload), '\s+'),
+               w -> w IN ('le','la','les','et','est','une','dans'))) AS s_fr,
+             len(payload) - len(regexp_replace(payload, '[\x{4e00}-\x{9fff}]', '', 'g')) AS s_zh
+           FROM p),
+         d AS (
+           SELECT lang, CASE
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM sc)
+         SELECT lang, lang_pred, count(*) AS cnt FROM d
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q_token_count_bpe" ->
+      ("""SELECT source,
+                CAST(sum(len(regexp_extract_all(lower(text), '""" +
+        graft.ops.TextAnalysis.BpePattern.replace("'", "''") +
+        """'))) AS BIGINT) AS total_bpe_tokens,
+                count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source"""),
     "q_text_quality" ->
       """SELECT lang, count(*) AS cnt,
                 round(avg(len(regexp_split_to_array(lower(text),'\s+'))), 4) AS avg_tokens,

@@ -97,6 +97,33 @@ object Similarity {
     p.join(c, Seq("tbl", "bucket")).select(col("qid"), col("cid")).distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-decision input for
+    * embedding space (feed the result to Dedup.dedupClusters). Candidate
+    * pairs come from shared RHP buckets in ANY of the nTables hyperplane
+    * tables; the exact cosine is computed on candidates only and confirmed
+    * against `threshold`. The corpus is never self-cross-joined: the join
+    * is bounded to within-bucket pairs (the 100 TB shape — same inverted-
+    * index discipline as Dedup.ngramJaccardPairs). Emits (a, b, sim) with
+    * a < b, both ids ordered, sim rounded to `decimals`. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, threshold: Double, nBits: Int = 8, nTables: Int = 4,
+      decimals: Int = 3): DataFrame = {
+    val b = rhpBuckets(corpus, idCol, embCol, "vid", dim, nBits, nTables)
+    val left = b.select(col("tbl"), col("bucket"), col("vid").as("a"))
+    val right = b.select(col("tbl"), col("bucket"), col("vid").as("b"))
+    val cand = left.join(right, Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = corpus.select(col(idCol), col(embCol).cast("array<double>"))
+    cand
+      .join(vecs.toDF("a", "ea"), Seq("a"))
+      .join(vecs.toDF("b", "eb"), Seq("b"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), decimals))
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
   // --------------------------------------------------------------- IVF ANN
 
   /** L2-normalize an embedding column (cosine becomes dot product). */
@@ -236,6 +263,45 @@ object TextAnalysis {
     val ws = tokens(textCol)
     val stops = size(filter(ws, w => stopwords.map(s => w === s).reduce(_ || _)))
     stops.cast("double") / size(ws)
+  }
+
+  /** BPE-ish regex token count: the GPT-2 pre-tokenizer shape (contraction
+    * suffixes, letter runs, digit runs, punctuation runs, each with an
+    * optional leading space), written WITHOUT lookahead so the identical
+    * pattern runs under Java regex and RE2 (DuckDB) — whitespace runs are
+    * simply not tokens. A codegen'd regexp count, no UDF. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  def bpeTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit(BpePattern), lit(0)))
+
+  /** Per-language scoring profiles for `detectLang`: small sets of
+    * distinctive function words (the n-gram-heuristic standard for
+    * whitespace-delimited languages). Order fixes the tie-break priority. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
+
+  /** Language-ID heuristic: score the text against each profile (function-
+    * word hits for alphabetic languages; CJK-codepoint count for `cjkLang`),
+    * argmax with the profile order as the deterministic tie-break. Pure
+    * higher-order-function + regexp expressions — engine-portable and
+    * whole-stage-codegen'd; no dictionary shipping, no UDF. */
+  def detectLang(textCol: Column,
+      profiles: Seq[(String, Seq[String])] = LangProfiles,
+      cjkLang: Option[String] = Some("zh")): Column = {
+    val ws = tokens(textCol)
+    val scores: Seq[(String, Column)] = profiles.map { case (lang, words) =>
+      lang -> size(filter(ws, w => words.map(s => w === s).reduce(_ || _)))
+    } ++ cjkLang.map { l =>
+      l -> (length(textCol) -
+        length(regexp_replace(textCol, "[\\x{4e00}-\\x{9fff}]", "")))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    coalesce(scores.map { case (lang, sc) => when(sc === m, lit(lang)) }: _*)
   }
 
   /** Per-language quality aggregates (cnt, avg tokens/chars, stop ratio). */

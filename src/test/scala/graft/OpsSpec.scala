@@ -144,6 +144,66 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall@1-in-5 only $recall%.2f at $reduction%.1fx reduction")
   }
 
+  test("embedding near-dup pairs: planted twins found, reported sims honest") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rnd = new scala.util.Random(7)
+    val twins = base.where(col("vec_id") < 30).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { case (id, e) =>
+        val norm = math.sqrt(e.map(x => x * x).sum)
+        (id + 100000, e.map(x => x + 0.05 * norm / math.sqrt(64) * rnd.nextGaussian()).toSeq)
+      }.toSeq.toDF("vec_id", "embedding")
+    val corpus = base.union(twins)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      dim = 64, threshold = 0.95).collect()
+    // soundness: every reported pair really is >= threshold, ordered a < b
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.95)
+    }
+    // recall: nearly all 30 planted twin pairs surface (multi-table LSH)
+    val twinPairs = pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => b == a + 100000 }
+    assert(twinPairs >= 28, s"only $twinPairs/30 planted twin pairs found")
+    // no false positives among non-twin pairs at this threshold (corpus is
+    // uniform-random: max non-planted cosine ~0.5)
+    assert(pairs.length == twinPairs)
+  }
+
+  test("language-ID heuristic: recovers the language from text alone") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      ("de", "der hund und die katze das ist nicht ein problem"),
+      ("en", "the cat and the dog of the house is in that room"),
+      ("es", "el perro y los gatos es una casa que existe"),
+      ("fr", "le chien et la maison est une belle chose dans paris"),
+      ("zh", "这 是 一个 简单 的 测试 文本 不 难")).toDF("expected", "text")
+    val got = docs.select(col("expected"), TextAnalysis.detectLang(col("text")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (want, pred) => assert(pred == want, s"want $want got $pred") }
+    // deterministic tie-break: all-zero scores fall to the first profile
+    val none = Seq(("x", "qqq zzz")).toDF("expected", "text")
+      .select(TextAnalysis.detectLang(col("text"))).head.getString(0)
+    assert(none == "de")
+  }
+
+  test("BPE-ish regex token count: golden cases + whitespace split agreement") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val got = Seq("don't stop!", "a1b2", "hello   world", "x  ,y").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // don|'t| stop|!  /  a|1|b|2  /  hello| world  /  x| ,|y
+    assert(got == Seq(4, 4, 2, 3))
+  }
+
   test("streaming: snapshot appends drive a live status-count stream") {
     import graft.crawl.{Crawl, CrawlConfig}
     import graft.site.PhashOutlinks
