@@ -10,11 +10,14 @@ import graft.images.ImageSynth
   * schema contract, executed inside WholeStageCodegen-adjacent
   * `mapPartitions`).
   *
-  * PNG decode/resize/feature-extract are REAL (javax.imageio ships with the
-  * JDK); audio/video decoding libraries are not in this container, so
-  * [[audioFeatures]]/[[videoFrameSample]] STUB the codec behind a
-  * deterministic fake and keep the Spark-side plumbing — schema,
-  * partitioning, batch shape — real and tested.
+  * PNG decode/resize/feature-extract are REAL (from-scratch PngCodec);
+  * audio and video are REAL for the uncompressed members of each family —
+  * RIFF/WAVE PCM16 (graft.media.WavCodec) and YUV4MPEG2
+  * (graft.media.Y4mCodec), both from-scratch decoders of public formats.
+  * Compressed codecs (MP3/Opus, H.264/VP9) are not in this container;
+  * non-WAV/non-Y4M payloads fall back to a clearly-marked deterministic
+  * byte-window fake so the distributed plumbing — schema, partitioning,
+  * batch shape — stays total and tested either way.
   */
 object Multimodal {
 
@@ -80,39 +83,63 @@ object Multimodal {
       })
   }
 
-  /** STUB codec: no audio libraries ship in this container. The "decode" is
-    * a deterministic fake (frame RMS derived from byte windows); the
-    * distributed plumbing — batching, schema, partition shape — is the real
-    * production structure a libsndfile/ffmpeg UDF would plug into. */
+  /** REAL decode for RIFF/WAVE PCM16 (graft.media.WavCodec, from scratch —
+    * the uncompressed member of the audio family): per-window RMS energy,
+    * normalized to [0,1]. Payloads that are not WAV (e.g. an image corpus
+    * piped through the audio branch) fall back to the byte-window fake so
+    * the plumbing stays total; compressed codecs (MP3/Opus) are not in this
+    * container and would plug into the same per-row seam. */
   def audioFeatures(audio: DataFrame, frameMs: Int = 100)(implicit spark: SparkSession): Dataset[AudioFeature] = {
     import spark.implicits._
     audio.select("image_id", "bytes").as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // === STUBBED DECODE === (deterministic fake standing in for a real
-        // PCM decode; replace with a codec call in production)
-        val bytesPerFrame = math.max(1, bytes.length / 16)
-        val rms = bytes.grouped(bytesPerFrame).map { frame =>
-          math.sqrt(frame.foldLeft(0.0)((a, b) => a + (b & 0xff) * (b & 0xff)) /
-            math.max(frame.length, 1)).toFloat
-        }.toArray
-        AudioFeature(id, bytes.length.toLong * frameMs / bytesPerFrame, rms)
+        if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+            bytes(2) == 'F' && bytes(3) == 'F') {
+          val wav = graft.media.WavCodec.decode(bytes)
+          val perWindow =
+            math.max(1, wav.sampleRate * frameMs / 1000) * wav.channels
+          val rms = wav.samples.grouped(perWindow).map { w =>
+            (math.sqrt(w.foldLeft(0.0)((a, s) => a + s.toDouble * s) / w.length)
+              / 32768.0).toFloat
+          }.toArray
+          AudioFeature(id, wav.durationMs, rms)
+        } else {
+          // === STUBBED DECODE === non-WAV payload: byte-window fake
+          val bytesPerFrame = math.max(1, bytes.length / 16)
+          val rms = bytes.grouped(bytesPerFrame).map { frame =>
+            math.sqrt(frame.foldLeft(0.0)((a, b) => a + (b & 0xff) * (b & 0xff)) /
+              math.max(frame.length, 1)).toFloat
+          }.toArray
+          AudioFeature(id, bytes.length.toLong * frameMs / bytesPerFrame, rms)
+        }
       })
   }
 
-  /** STUB codec: video frame sampling. Every k-th "frame" is a byte window
-    * of the container payload; phash of each sampled window stands in for a
-    * decoded-frame perceptual hash. */
+  /** REAL decode for YUV4MPEG2 (graft.media.Y4mCodec, from scratch — the
+    * raw-interchange member of the video family): sample every k-th frame,
+    * perceptual-hash its full-resolution luma plane. Non-Y4M payloads fall
+    * back to byte-window sampling; compressed codecs (H.264/VP9) are not in
+    * this container and would plug into the same seam. */
   def videoFrameSample(video: DataFrame, everyK: Int = 4)(implicit spark: SparkSession): Dataset[VideoFrames] = {
     import spark.implicits._
     video.select("image_id", "bytes").as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // === STUBBED DECODE === deterministic fake frame extraction
-        val frameSize = math.max(64, bytes.length / 32)
-        val frames = bytes.grouped(frameSize).zipWithIndex
-          .filter(_._2 % everyK == 0)
-          .map { case (window, _) => ImageSynth.phashOf(window) }
-          .toArray
-        VideoFrames(id, frames, frames.length)
+        if (bytes.length >= 9 &&
+            new String(bytes, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2") {
+          val v = graft.media.Y4mCodec.decode(bytes)
+          val frames = v.frames.zipWithIndex.collect {
+            case (f, i) if i % everyK == 0 => ImageSynth.phashOf(f.y)
+          }.toArray
+          VideoFrames(id, frames, frames.length)
+        } else {
+          // === STUBBED DECODE === non-Y4M payload: byte-window fake
+          val frameSize = math.max(64, bytes.length / 32)
+          val frames = bytes.grouped(frameSize).zipWithIndex
+            .filter(_._2 % everyK == 0)
+            .map { case (window, _) => ImageSynth.phashOf(window) }
+            .toArray
+          VideoFrames(id, frames, frames.length)
+        }
       })
   }
 }

@@ -43,7 +43,9 @@ class OpsSpec extends AnyFunSuite {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
-  test("multimodal: stubbed audio/video plumbing has the right shape") {
+  test("multimodal: non-WAV/non-Y4M payloads take the stub fallback, plumbing total") {
+    // piping the PNG corpus through the audio/video branches exercises the
+    // clearly-marked byte-window fallback (real codecs are MediaSpec's job)
     val audio = Multimodal.audioFeatures(images).collect()
     assert(audio.length == 24)
     assert(audio.forall(_.rms.nonEmpty))
