@@ -434,7 +434,7 @@ object Queries {
       .select(col("id").as("image_id"), col("bytes"), lit("png").as("fmt"))
     val rz = Multimodal.imageMeta(resizedImgs).toDF()
       .select(col("id"), col("w").as("rw"), col("h").as("rh"))
-    meta
+    val imageRows = meta
       .join(images.select(col("image_id").as("id"), col("phash").as("tbl_phash")), Seq("id"))
       .join(featOk, Seq("id"))
       .join(rz, Seq("id"))
@@ -444,7 +444,44 @@ object Queries {
         sum(when(col("phash") === col("tbl_phash"), 1).otherwise(0)).as("n_phash_match"),
         sum(when(abs(col("l1") - 3.0) < 1e-3, 1).otherwise(0)).as("n_feat_normalized"),
         sum(when(col("rw") === 8 && col("rh") === 8, 1).otherwise(0)).as("n_resized_ok"))
-      .orderBy(col("fmt"))
+    // audio: real WAV decode must land within 2% of the analytic two-tone
+    // RMS (amp/2) and report the exact synthesized duration
+    val audioRows = Multimodal.audioFeatures(graft.media.MediaSynth.audioDf(s, 64), 100)
+      .map { f =>
+        val id = f.id.stripPrefix("aud-").toLong
+        val amp = 0.3 + 0.02 * (id % 10)
+        val f1 = 200 + (id % 17) * 40
+        val f2 = 600 + (id % 11) * 60
+        // coincident tones add coherently: amp*sin -> RMS amp/sqrt(2)
+        val want = if (f1 == f2) amp / math.sqrt(2) else amp / 2
+        val rms = math.sqrt(f.rms.map(r => r.toDouble * r).sum / f.rms.length)
+        (f.duration_ms == 500L, math.abs(rms - want) < 0.02)
+      }.toDF("dur_ok", "rms_ok")
+      .agg(
+        lit("wav").as("fmt"),
+        count(lit(1)).as("n_images"),
+        sum(when(col("dur_ok") && col("rms_ok"), 1).otherwise(0)).as("n_phash_match"),
+        count(lit(1)).as("n_feat_normalized"),
+        count(lit(1)).as("n_resized_ok"))
+      .select("fmt", "n_images", "n_phash_match", "n_feat_normalized", "n_resized_ok")
+    // video: real Y4M decode — sampled-frame phash must equal the phash of
+    // the independently re-synthesized decoded luma plane
+    val videoRows = Multimodal.videoFrameSample(graft.media.MediaSynth.videoDf(s, 64), 4)
+      .map { v =>
+        val id = v.id.stripPrefix("vid-").toLong
+        val clip = graft.media.Y4mCodec.decode(graft.media.MediaSynth.y4mOf(id))
+        val expected = Range(0, clip.frames.size, 4)
+          .map(i => graft.images.ImageSynth.phashOf(clip.frames(i).y))
+        (v.n_frames == expected.size, v.frame_phashes.sameElements(expected))
+      }.toDF("n_ok", "hash_ok")
+      .agg(
+        lit("y4m").as("fmt"),
+        count(lit(1)).as("n_images"),
+        sum(when(col("n_ok") && col("hash_ok"), 1).otherwise(0)).as("n_phash_match"),
+        count(lit(1)).as("n_feat_normalized"),
+        count(lit(1)).as("n_resized_ok"))
+      .select("fmt", "n_images", "n_phash_match", "n_feat_normalized", "n_resized_ok")
+    imageRows.union(audioRows).union(videoRows).orderBy(col("fmt"))
   }
 
   // ----------------------------------------------------------------- registry
