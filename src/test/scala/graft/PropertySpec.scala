@@ -96,6 +96,35 @@ object GraftProperties extends Properties("graft") {
       dw == w && dh == h && decoded.sameElements(pixels)
     }
 
+  property("wav codec roundtrips arbitrary PCM16 sample buffers") =
+    forAll(Gen.choose(1, 2000), Gen.oneOf(1, 2), Gen.oneOf(8000, 16000, 44100),
+      Gen.long) { (nFrames, ch, rate, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(nFrames * ch)(rnd.nextInt(65536).toShort)
+      val wav = graft.media.WavCodec.decode(
+        graft.media.WavCodec.encode(samples, rate, ch))
+      wav.sampleRate == rate && wav.channels == ch &&
+        wav.samples.sameElements(samples) && wav.nFrames == nFrames
+    }
+
+  property("y4m codec roundtrips arbitrary C420 frame sequences byte-exactly") =
+    forAll(Gen.choose(1, 8).map(_ * 2), Gen.choose(1, 8).map(_ * 2),
+      Gen.choose(0, 6), Gen.long) { (w, h, nFrames, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val frames = Vector.fill(nFrames)(graft.media.Y4mCodec.Frame(
+        Array.fill(w * h)(rnd.nextInt(256).toByte),
+        Array.fill(w * h / 4)(rnd.nextInt(256).toByte),
+        Array.fill(w * h / 4)(rnd.nextInt(256).toByte)))
+      val bytes = graft.media.Y4mCodec.encode(
+        graft.media.Y4mCodec.Video(w, h, 25, 1, frames))
+      val v = graft.media.Y4mCodec.decode(bytes)
+      v.w == w && v.h == h && v.frames.size == nFrames &&
+        graft.media.Y4mCodec.encode(v).sameElements(bytes) &&
+        v.frames.zip(frames).forall { case (a, b) =>
+          a.y.sameElements(b.y) && a.u.sameElements(b.u) && a.v.sameElements(b.v)
+        }
+    }
+
   /** The previous per-item linear scan over all queues, kept as the
     * selection-rule oracle for the heap scheduler (first ready queue in
     * insertion order). */
