@@ -32,6 +32,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byUrl("not a url")._1 == UrlUtil.uuid3("not a url"))
   }
 
+  test("GraftExtensions wires the SQL surface at session build (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared session to restore
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session state built WITH the extension —
+      // no register() call anywhere
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old, "builder must create a fresh session after clear")
+      val got = s2.sql(
+        "SELECT graft_uuid3('http://a.com/x') AS k, graft_reverse_url('http://a.com/x') AS r"
+      ).head()
+      assert(got.getString(0) == UrlUtil.uuid3("http://a.com/x"))
+      assert(got.getString(1) == "com.a:http/x")
+      // derived sessions inherit the extension-injected functions
+      assert(s2.newSession().sql("SELECT graft_uuid3('y')").head().getString(0)
+        == UrlUtil.uuid3("y"))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("graft_bloom: Catalyst TypedImperativeAggregate builds a mergeable filter") {
     import spark.implicits._
     val keys = (0 until 5000).map(i => s"key-$i")
