@@ -766,9 +766,11 @@ object Queries {
                  > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
              FROM u, range(0, 2) s(t), range(0, 8) v(j))
            GROUP BY vec_id, t),
+         bc AS (SELECT vec_id, t, bucket FROM b
+                QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
          cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-                  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket
-                                   AND l.vec_id < r.vec_id),
+                  FROM bc l JOIN bc r ON l.t = r.t AND l.bucket = r.bucket
+                                     AND l.vec_id < r.vec_id),
          av AS (SELECT vec_id AS a, e AS ea FROM u),
          bv AS (SELECT vec_id AS b, e AS eb FROM u),
          sims AS (

@@ -104,11 +104,24 @@ object Similarity {
     * against `threshold`. The corpus is never self-cross-joined: the join
     * is bounded to within-bucket pairs (the 100 TB shape — same inverted-
     * index discipline as Dedup.ngramJaccardPairs). Emits (a, b, sim) with
-    * a < b, both ids ordered, sim rounded to `decimals`. */
+    * a < b, both ids ordered, sim rounded to `decimals`.
+    *
+    * Skew guard: a degenerate bucket (e.g. a million byte-identical
+    * embeddings) yields quadratic pairs, so buckets hotter than `maxBucket`
+    * are excluded from the pair join — NOT silently lossy in the common
+    * case, because a pair survives if it shares ANY under-cap bucket across
+    * the nTables tables. Truly all-identical clusters should be collapsed
+    * by exact dedup (Dedup.exactStats) before embedding-space mining; any
+    * cap applied here must be applied to a parity oracle identically. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       dim: Int, threshold: Double, nBits: Int = 8, nTables: Int = 4,
-      decimals: Int = 3): DataFrame = {
-    val b = rhpBuckets(corpus, idCol, embCol, "vid", dim, nBits, nTables)
+      decimals: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    val b0 = rhpBuckets(corpus, idCol, embCol, "vid", dim, nBits, nTables)
+    // window over (tbl,bucket): its hashpartitioning is exactly the pair
+    // join's key, so the cap costs no extra exchange beyond the join's own
+    val wB = Window.partitionBy(col("tbl"), col("bucket"))
+    val b = b0.withColumn("bsz", count(lit(1)).over(wB))
+      .where(col("bsz") <= maxBucket).drop("bsz")
     val left = b.select(col("tbl"), col("bucket"), col("vid").as("a"))
     val right = b.select(col("tbl"), col("bucket"), col("vid").as("b"))
     val cand = left.join(right, Seq("tbl", "bucket"))

@@ -194,4 +194,20 @@ class JobsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
   }
+
+  test("explain: near-dup pair mining is bucket-bounded, never a cartesian product") {
+    val df = Queries.all("q_embed_neardup")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"near-dup candidates must come from the (tbl,bucket) equi-join:\n$plan")
+    // exact-cosine confirm runs on the candidate join output, not a self-scan
+    assert(plan.contains("Join") || plan.contains("join"), "candidate join missing")
+  }
+
+  test("explain: linkdb aggregation prunes to the columns it needs") {
+    val df = Queries.all("q_linkdb_inlinks")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id"), s"scan should read doc_id only:\n$plan")
+    assert(!plan.contains("text"), "unused text column read by linkdb scan")
+  }
 }

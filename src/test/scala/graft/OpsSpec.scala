@@ -174,6 +174,17 @@ class OpsSpec extends AnyFunSuite {
     // no false positives among non-twin pairs at this threshold (corpus is
     // uniform-random: max non-planted cosine ~0.5)
     assert(pairs.length == twinPairs)
+
+    // skew guard: identical vectors land in the same bucket in EVERY table
+    // — the degenerate quadratic case the maxBucket cap exists for
+    val dup = base.where(col("vec_id") === 0).head.getSeq[Double](1)
+    val clones = (0 until 12).map(i => (200000L + i, dup)).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(clones, "vec_id", "embedding",
+      dim = 64, threshold = 0.95)
+    assert(uncapped.count() == 12 * 11 / 2)
+    val capped = Similarity.cosineNearDupPairs(clones, "vec_id", "embedding",
+      dim = 64, threshold = 0.95, maxBucket = 8)
+    assert(capped.count() == 0, "over-cap buckets must not enter the pair join")
   }
 
   test("language-ID heuristic: recovers the language from text alone") {
