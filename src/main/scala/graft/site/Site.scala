@@ -9,10 +9,50 @@ import graft.images.ImageSynth
   * no Crawl-Delay directive.
   */
 case class RobotsRule(host: String, disallow: Seq[String] = Seq.empty,
-    crawlDelayMs: Long = 0L) {
+    crawlDelayMs: Long = 0L, allow: Seq[String] = Seq.empty) {
+
+  /** RFC 9309 decision: the most specific (longest) matching pattern wins,
+    * Allow wins length ties, no matching pattern = allowed. Patterns may
+    * use `*` wildcards and a `$` end anchor (crawler-commons' Google
+    * extension); plain prefixes — the overwhelmingly common case — behave
+    * exactly like the pre-Allow implementation. */
   def isAllowed(url: String): Boolean = {
     val path = graft.url.UrlUtil.tryParse(url).map(_.file).getOrElse(url)
-    !disallow.exists(d => d.nonEmpty && path.startsWith(d))
+    val bestDis = disallow.iterator.map(RobotsRule.matchLen(_, path)).foldLeft(-1)(_ max _)
+    if (bestDis < 0) true
+    else {
+      val bestAlw = allow.iterator.map(RobotsRule.matchLen(_, path)).foldLeft(-1)(_ max _)
+      bestAlw >= bestDis
+    }
+  }
+}
+
+object RobotsRule {
+  /** Pattern specificity (= pattern length) if `pattern` matches `path`
+    * from its start, else -1. `*` matches any run, trailing `$` anchors
+    * the end. */
+  private[site] def matchLen(pattern: String, path: String): Int = {
+    if (pattern.isEmpty) return -1
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    // greedy segment match: path must contain the '*'-separated segments in
+    // order, the first segment at position 0, the last at the end if anchored
+    val segs = p.split("\\*", -1)
+    var pos = 0
+    var ok = true
+    for ((seg, i) <- segs.zipWithIndex if ok) {
+      if (i == 0) {
+        if (path.startsWith(seg)) pos = seg.length else ok = false
+      } else if (i == segs.length - 1 && anchored) {
+        if (path.length >= pos + seg.length && path.endsWith(seg)) pos = path.length
+        else ok = false
+      } else {
+        val at = path.indexOf(seg, pos)
+        if (at >= 0) pos = at + seg.length else ok = false
+      }
+    }
+    if (ok && anchored && pos != path.length) ok = false
+    if (ok) pattern.length else -1
   }
 }
 
@@ -82,4 +122,19 @@ case class FetchEnv(
     transientErrors: Set[String] = Set.empty) extends Serializable {
   def robotsFor(host: String): RobotsRule =
     robots.getOrElse(host, RobotsRule(host))
+}
+
+object FetchEnv {
+  /** Build the robots dimension from raw robots.txt payloads (what a live
+    * `Protocol` fetch of `http://host/robots.txt` returns), parsed with the
+    * reference's crawler-commons semantics (RobotsTxtParser). */
+  def fromRobotsTxt(robotsTxt: Map[String, String], agentName: String,
+      redirects: Map[String, (String, Boolean)] = Map.empty,
+      transientErrors: Set[String] = Set.empty): FetchEnv =
+    FetchEnv(
+      robots = robotsTxt.map { case (host, content) =>
+        host -> RobotsTxtParser.parse(host, content, agentName)
+      },
+      redirects = redirects,
+      transientErrors = transientErrors)
 }
