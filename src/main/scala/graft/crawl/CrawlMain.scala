@@ -31,6 +31,7 @@ object CrawlMain {
       sys.exit(2)
     }
     val cmd = args.head
+    if (cmd == "robots") { robotsCheck(args); return }
     val spark = SparkSession.builder()
       .appName(s"graft-$cmd")
       .config("spark.sql.shuffle.partitions",
@@ -112,4 +113,23 @@ object CrawlMain {
     }
     spark.stop()
   }
+
+  /** reference: RobotRulesParser.main (RobotRulesParser.java:145-173) —
+    * parse a robots.txt file, test URLs (1/line) against it. Driver-only,
+    * no Spark session needed. */
+  private def robotsCheck(args: Array[String]): Unit =
+    (arg(args, "robotsfile"), arg(args, "urlfile"), arg(args, "agents")) match {
+      case (Some(rf), Some(uf), Some(agents)) =>
+        val content = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(rf)), java.nio.charset.StandardCharsets.UTF_8)
+        val rules = graft.site.RobotsTxtParser.parse("cli", content, agents)
+        val src = scala.io.Source.fromFile(uf)
+        try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { u =>
+          println((if (rules.isAllowed(u)) "allowed" else "not allowed") + ":\t" + u)
+        } finally src.close()
+      case _ =>
+        System.err.println(
+          "usage: robots --robotsfile <robots.txt> --urlfile <urls> --agents <a,b>")
+        sys.exit(2)
+    }
 }
