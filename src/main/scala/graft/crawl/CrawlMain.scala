@@ -27,7 +27,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|linkdb|compact> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|linkdb|compact|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
