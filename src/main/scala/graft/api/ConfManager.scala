@@ -61,6 +61,14 @@ object ConfManager {
       fetchIntervalMax = i("db.fetch.interval.max", base.fetchIntervalMax),
       retryMax = i("db.fetch.retry.max", base.retryMax),
       useAdaptiveSchedule = p.get("db.fetch.schedule.class").exists(_.contains("Adaptive")),
+      adaptiveIncRate = f("db.fetch.schedule.adaptive.inc_rate", base.adaptiveIncRate),
+      adaptiveDecRate = f("db.fetch.schedule.adaptive.dec_rate", base.adaptiveDecRate),
+      adaptiveMinInterval = i("db.fetch.schedule.adaptive.min_interval", base.adaptiveMinInterval),
+      adaptiveMaxInterval = i("db.fetch.schedule.adaptive.max_interval", base.adaptiveMaxInterval),
+      adaptiveSyncDelta = b("db.fetch.schedule.adaptive.sync_delta", base.adaptiveSyncDelta),
+      adaptiveSyncDeltaRate =
+        p.get("db.fetch.schedule.adaptive.sync_delta_rate").map(_.trim.toDouble)
+          .getOrElse(base.adaptiveSyncDeltaRate),
       scoreInjected = f("db.score.injected", base.scoreInjected),
       internalScoreFactor = f("db.score.link.internal", base.internalScoreFactor),
       externalScoreFactor = f("db.score.link.external", base.externalScoreFactor),
@@ -93,6 +101,10 @@ object ConfManager {
       additionsAllowed = b("db.update.additions.allowed", base.additionsAllowed),
       maxInlinks = i("db.update.max.inlinks", base.maxInlinks),
       maxNewPages = l("db.update.max.newpages", base.maxNewPages),
-      filterSeenNewPages = b("graft.filter.seen.newpages", base.filterSeenNewPages))
+      filterSeenNewPages = b("graft.filter.seen.newpages", base.filterSeenNewPages),
+      seenBloomPartitions = i("graft.seen.bloom.partitions", base.seenBloomPartitions),
+      seenBloomFpp = p.get("graft.seen.bloom.fpp").map(_.trim.toDouble)
+        .getOrElse(base.seenBloomFpp),
+      useDefaultUrlFilter = b("graft.urlfilter.default", base.useDefaultUrlFilter))
   }
 }
