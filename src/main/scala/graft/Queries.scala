@@ -218,6 +218,18 @@ object Queries {
       .orderBy(col("cluster"))
   }
 
+  /** Apply step of the dedup pipeline: drop every non-canonical member of
+    * a near-dup cluster (keep min doc_id), pass unclustered docs through.
+    * sum(doc_id) pins the exact surviving set, not just its size. */
+  private def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text")
+    graft.ops.Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("survivors"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sampling: membership is a pure function of
     * md5(key), reproducible across engines — sum(doc_id) pins the exact
     * sampled set, not just its size. */
@@ -509,6 +521,7 @@ object Queries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
@@ -526,6 +539,45 @@ object Queries {
     "q_urlfilter_automaton" -> (qUrlfilterAutomaton _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
+
+  private val ClusterOracleCte: String =
+    """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
+           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
+         ), hx AS (
+           SELECT doc_id, ('0x' || substr(md5(shingle),1,10))::BIGINT AS x FROM sh
+         ), mh AS (
+           SELECT doc_id,
+             min((x*387421 + 12289) % 2305843009213693951) AS mh0,
+             min((x*921043 + 786433) % 2305843009213693951) AS mh1,
+             min((x*450157 + 196613) % 2305843009213693951) AS mh2,
+             min((x*700417 + 402653) % 2305843009213693951) AS mh3,
+             min((x*104729 + 161051) % 2305843009213693951) AS mh4,
+             min((x*999983 + 69857) % 2305843009213693951) AS mh5
+           FROM hx GROUP BY doc_id
+         ), bands AS (
+           SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh
+           UNION ALL
+           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh
+         ), bcnt AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
+         capped AS (SELECT bands.doc_id, bands.band, bands.sig FROM bands
+                    JOIN bcnt USING (band, sig) WHERE bsz <= 1000),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         ), edges AS (
+           SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+         ), reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         ), labels AS (
+           SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
     "q_scan_filter_agg" ->
@@ -661,44 +713,14 @@ object Queries {
          FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          ORDER BY da, db""",
     "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
-         ), sh AS (
-           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-           FROM toks, unnest(range(1, len(ws)-1)) AS t(i)
-           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''
-         ), hx AS (
-           SELECT doc_id, ('0x' || substr(md5(shingle),1,10))::BIGINT AS x FROM sh
-         ), mh AS (
-           SELECT doc_id,
-             min((x*387421 + 12289) % 2305843009213693951) AS mh0,
-             min((x*921043 + 786433) % 2305843009213693951) AS mh1,
-             min((x*450157 + 196613) % 2305843009213693951) AS mh2,
-             min((x*700417 + 402653) % 2305843009213693951) AS mh3,
-             min((x*104729 + 161051) % 2305843009213693951) AS mh4,
-             min((x*999983 + 69857) % 2305843009213693951) AS mh5
-           FROM hx GROUP BY doc_id
-         ), bands AS (
-           SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM mh
-           UNION ALL
-           SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh
-           UNION ALL
-           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh
-         ), bcnt AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
-         capped AS (SELECT bands.doc_id, bands.band, bands.sig FROM bands
-                    JOIN bcnt USING (band, sig) WHERE bsz <= 1000),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         ), edges AS (
-           SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
-         ), reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         ), labels AS (
-           SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a)
-         SELECT cluster, count(*) AS size FROM labels GROUP BY cluster ORDER BY cluster""",
+      (ClusterOracleCte + """
+         SELECT cluster, count(*) AS size FROM labels GROUP BY cluster ORDER BY cluster"""),
+    "q_dedup_apply" ->
+      (ClusterOracleCte + """
+         , losers AS (SELECT node AS doc_id FROM labels WHERE node <> cluster)
+         SELECT source, count(*) AS survivors, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         GROUP BY source ORDER BY source"""),
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents

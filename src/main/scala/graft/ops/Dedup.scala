@@ -172,6 +172,20 @@ object Dedup {
     * aggregate, all-Catalyst (the Pregel-style driver loop only counts
     * changes). Returns (node, cluster) where cluster = min node id of the
     * component. */
+  /** Apply the dedup decision: keep ONE canonical document per near-dup
+    * cluster (the component's min id), pass documents outside any cluster
+    * through untouched. The final step of the pipeline: candidates
+    * (ngramJaccardPairs / minhashLshCandidates / cosineNearDupPairs) →
+    * clusters (dedupClusters) → this anti-join, which drops only the
+    * non-canonical members — one shuffle on the id column. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "da", bCol: String = "db"): DataFrame = {
+    val losers = dedupClusters(pairs, aCol, bCol)
+      .where(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   def dedupClusters(pairs: DataFrame, aCol: String = "da", bCol: String = "db",
       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
