@@ -142,6 +142,27 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rounds = info("result").asInstanceOf[Map[String, Any]]("roundsCompleted")
       .toString.toInt
     assert(rounds < 40, s"stop flag ignored: completed all $rounds rounds")
+
+    // resubmitting the SAME table resumes from the stop point: the crawl's
+    // snapshot-based checkpoint makes the new job run only the missing
+    // rounds up to its depth
+    val target = rounds + 2
+    val (_, id2J) = send("POST", "/job/create",
+      s"""{"crawlId":"c2","type":"CRAWL","confId":"default",
+          "args":{"table":"$table","pages":120,"hosts":6,"depth":$target,"numSeeds":3}}""")
+    val id2 = jstr(id2J)
+    var st2 = ""
+    val dl2 = System.nanoTime() + 180L * 1000000000L
+    while (st2 != "FINISHED" && st2 != "FAILED" && System.nanoTime() < dl2) {
+      Thread.sleep(200)
+      st2 = get(s"/job/$id2")._2.values.asInstanceOf[Map[String, Any]]("state").toString
+    }
+    assert(st2 == "FINISHED")
+    // HEAD stage is "update" normally, "compact" if target hit the
+    // every-8-rounds default compaction boundary
+    val head = new graft.table.SnapshotTable(table).lastCompleted
+    assert(head.exists(_._1 == target),
+      s"resume must complete exactly through round $target, head=$head")
   }
 
   test("abort on an unknown id is false; stop on finished job is safe") {
