@@ -19,9 +19,11 @@ case class CrawlConfig(
     adaptiveSyncDeltaRate: Double = 0.2,
     useAdaptiveSchedule: Boolean = false, // db.fetch.schedule.class
     // scoring
+    scoringFilterClass: String = "opic", // scoring.filter.class: opic | link | tld
     scoreInjected: Float = 1.0f, // db.score.injected
     internalScoreFactor: Float = 1.0f, // db.score.link.internal
     externalScoreFactor: Float = 1.0f, // db.score.link.external
+    linkAnalysisNormalizedScore: Float = 1.0f, // link.analyze.normalize.score
     // generate
     topN: Long = 0, // 0 = unlimited; per-partition limit like the reference
     generateMaxCount: Long = 0, // generate.max.count, 0 = unlimited
@@ -60,5 +62,10 @@ case class CrawlConfig(
     filterSeenNewPages: Boolean = false,
     seenBloomPartitions: Int = 32,
     seenBloomFpp: Double = 0.01,
+    // expected TOTAL key count the seen bank is sized for at its one-time
+    // build (a 10^10-frontier deployment sets this explicitly); 0 = auto
+    // (8x the key count at first build). Exceeding capacity only raises the
+    // false-positive rate — the exact store join keeps results correct.
+    seenBloomCapacity: Long = 0,
     // filters
     useDefaultUrlFilter: Boolean = true)

@@ -237,7 +237,11 @@ object DbUpdateJob {
     * remains the default (filterSeenNewPages = false).
     */
   /** Counters for the bloom-gated merge, exposed so callers (and tests) can
-    * observe that the store join saw only the bloom-positive slice. */
+    * observe that the store join saw only the bloom-positive slice.
+    * Populated by exact counts over a persisted candidate set (NOT by
+    * incrementing inside filter closures, which Spark re-executes on stage
+    * retry and once per action over an unpersisted plan — the round-2
+    * accumulator-accuracy finding), so the values are stable under retries. */
   final case class SeenMergeMetrics(
       candidates: org.apache.spark.util.LongAccumulator,
       bloomPositives: org.apache.spark.util.LongAccumulator)
@@ -258,6 +262,13 @@ object DbUpdateJob {
       !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT)
     val fromBatch = updated.filter(p => !isNew(p))
     val candidates = updated.filter(isNew)
+    // exact observability counts on a persisted candidate set (delta-sized;
+    // only when requested): immune to stage retry / multi-action recompute
+    metrics.foreach { m =>
+      val c = candidates.persist()
+      m.candidates.add(c.count())
+      m.bloomPositives.add(c.filter(p => b.value.mightContain(p.key)).count())
+    }
     // bloom-negative => definitely new, no join needed
     val definitelyNew = candidates.filter(p => !b.value.mightContain(p.key))
     // bloom-positive ONLY => join the store: merge into hits, keep misses
@@ -266,12 +277,7 @@ object DbUpdateJob {
     // the null branch below) and defeat the prefilter's point: at 10^10
     // keys the store join must see only the ~fpp fraction of candidates.
     val maybeSeen = candidates
-      .filter { p =>
-        metrics.foreach(_.candidates.add(1))
-        val hit = b.value.mightContain(p.key)
-        if (hit) metrics.foreach(_.bloomPositives.add(1))
-        hit
-      }
+      .filter(p => b.value.mightContain(p.key))
       .map(p => (p.key, p))
     val existingKeyed = existingRows.map(p => (p.key, p))
     val merged = maybeSeen

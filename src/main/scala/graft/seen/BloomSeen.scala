@@ -114,6 +114,11 @@ final class BloomSeen(val parts: Array[BloomFilter], val numParts: Int) extends 
     while (i < parts.length) { parts(i).mergeInPlace(other.parts(i)); i += 1 }
     this
   }
+
+  /** A structurally-identical empty bank (same per-partition bit geometry),
+    * mergeable into this one — the accumulator zero for delta adds. */
+  def emptyLike: BloomSeen =
+    new BloomSeen(parts.map(p => new BloomFilter(p.numBits, p.numHashes)), numParts)
 }
 
 object BloomSeen {
@@ -178,4 +183,17 @@ object BloomSeen {
       seqOp = (acc, k) => { acc.add(k); acc },
       combOp = (a, b) => a.mergeInPlace(b),
       depth = depth)
+
+  /** Incremental delta add (the crawl-loop maintenance path, reference
+    * putIfAbsent semantics, FrontierJob.java:62-71): fold only `keys` —
+    * a round's delta, never the store — into an existing bank. One
+    * O(|delta|) treeAggregate over a geometry-matched empty bank, OR-merged
+    * into `bank` driver-side. Returns `bank` (mutated). */
+  def addAll(bank: BloomSeen, keys: RDD[String], depth: Int = 2): BloomSeen = {
+    val delta = keys.treeAggregate(bank.emptyLike)(
+      seqOp = (acc, k) => { acc.add(k); acc },
+      combOp = (a, b) => a.mergeInPlace(b),
+      depth = depth)
+    bank.mergeInPlace(delta)
+  }
 }

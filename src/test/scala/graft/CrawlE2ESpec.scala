@@ -249,6 +249,41 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(finalState(dirA) == finalState(dirB))
   }
 
+  test("incremental seen bank: one full build, O(delta) adds, checkpoint resume (C10 integration)") {
+    val nPages = 200L
+    val nHosts = 5
+    val conf = baseConf.copy(topN = 8, numPartitions = 4, filterSeenNewPages = true)
+    val source = PhashOutlinks(nPages, nHosts, degree = 3)
+    val seeds = Seq(ImageSynth.urlOf(0, nHosts), ImageSynth.urlOf(1, nHosts))
+    val images = ImageSynth.imagesDf(spark, nPages, nHosts, partitions = 4)
+
+    def state(dir: String): Map[String, (String, Int, Int, Long)] =
+      new graft.table.SnapshotTable(dir).currentView(spark).drop("snapshot_id").as[WebPage]
+        .collect()
+        .map(p => p.key -> (p.url, p.status, math.round(p.score * 10000f), p.fetchTime))
+        .toMap
+
+    // uninterrupted 4-round run: the bank is built from a key scan exactly
+    // once, then maintained with per-round delta adds
+    val dirA = SparkTestBase.tmpDir("seenbankA")
+    val a = new Crawl(spark, dirA, images, conf, source)
+    a.run(4, seeds, collectStats = false)
+    assert(a.seenFullBuilds == 1, "exactly one full key-scan build over the whole crawl")
+    assert(a.seenDeltaAddBatches >= 4,
+      s"rounds after the build must add deltas incrementally (got ${a.seenDeltaAddBatches})")
+
+    // kill after round 2, resume with a FRESH driver instance: the bank
+    // loads from its checkpoint (zero full builds) and the final frontier
+    // state is byte-identical to the uninterrupted run
+    val dirB = SparkTestBase.tmpDir("seenbankB")
+    new Crawl(spark, dirB, images, conf, source).run(2, seeds, collectStats = false)
+    val resumed = new Crawl(spark, dirB, images, conf, source)
+    resumed.run(4, seeds, collectStats = false)
+    assert(resumed.seenFullBuilds == 0, "resume must load the checkpointed bank, not rebuild")
+    assert(resumed.seenDeltaAddBatches >= 2)
+    assert(state(dirA) == state(dirB), "resumed frontier must equal the uninterrupted run")
+  }
+
   test("payload invariant: decoded pixels exact (PSNR=inf) + caption equality (input_hint B23)") {
     val nHosts = 3
     val urls = (0 until 9).map(i => ImageSynth.urlOf(i, nHosts))
