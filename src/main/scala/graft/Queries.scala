@@ -198,15 +198,20 @@ object Queries {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactStats(t(s, dir, "documents"), "text", "source")
 
-  /** N-gram Jaccard near-dup pairs (shingle -> inverted index -> pair join). */
+  /** N-gram Jaccard near-dup pairs (shingle -> inverted index -> pair join).
+    * The orderBy is the ORACLE's determinism contract, applied here in the
+    * query layer — the ops API emits unsorted pairs so pipeline callers
+    * never pay a global sort. */
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       threshold = 0.1)
+      .orderBy(col("da"), col("db"))
 
   /** MinHash + LSH banding: shingle -> k minhashes -> band buckets ->
     * candidate pair join (the scalable near-dup path). */
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("da"), col("db"))
 
   /** Near-dup clustering: LSH candidate pairs -> connected components
     * (min-label propagation) -> per-cluster sizes. The decision step of a
@@ -310,6 +315,7 @@ object Queries {
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
     graft.ops.Similarity.cosineNearDupPairs(e.union(twins), "vec_id", "embedding",
       dim = 64, threshold = 0.95, nBits = 8, nTables = 2)
+      .orderBy(col("a"), col("b"))
   }
 
   /** Language-ID heuristic (n-gram/function-word scoring): deterministic

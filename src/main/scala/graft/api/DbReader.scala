@@ -41,11 +41,19 @@ final class DbReader(spark: SparkSession, tablePath: String) {
     val cols =
       if (fields.isEmpty) df.columns.filterNot(_ == "content").toSeq // DbReader.java:79-84
       else ("url" +: fields).distinct.filter(df.columns.contains)
+    // the limit is client-controlled and the rows are collect()ed on the
+    // driver: clamp to a server-side maximum so a huge request cannot OOM
+    // the REST process
     df.select(cols.map(col): _*)
       .orderBy(revKey)
-      .limit(limit)
+      .limit(math.min(math.max(limit, 0), DbReader.MaxLimit))
       .collect()
       .map(r => r.schema.fieldNames.zip(r.toSeq.map(JobFactory.jsonSafe)).toMap)
       .toSeq
   }
+}
+
+object DbReader {
+  /** Hard ceiling on rows a single /db request may collect to the driver. */
+  val MaxLimit: Int = 10000
 }

@@ -125,6 +125,13 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
       }
     } catch {
       case e: IllegalArgumentException => json(ex, 400, err(e.getMessage))
+      // malformed request bodies (unparsable JSON, or a JSON array where an
+      // object is required) are client errors, not server faults — the
+      // reference's BadRequest mapping
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        json(ex, 400, err(s"malformed JSON body: ${e.getOriginalMessage}"))
+      case e: ClassCastException =>
+        json(ex, 400, err("request body must be a JSON object"))
       case NonFatal(e) =>
         json(ex, 500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     } finally ex.close()

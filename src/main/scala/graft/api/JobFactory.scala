@@ -57,8 +57,15 @@ final class JobFactory(spark: SparkSession) {
       case Some(d) => spark.read.parquet(d)
       case None =>
         val d = s"$table-images"
-        if (!new java.io.File(d, "_SUCCESS").exists())
-          ImageSynth.writeImagesTable(spark, d, pages, hosts, partitions = conf.numPartitions)
+        // serialize check-then-write per table path: two concurrently
+        // submitted jobs targeting the same table must not race the
+        // synthesized image-table write
+        val lock = JobFactory.imageTableLocks
+          .computeIfAbsent(d, _ => new Object)
+        lock.synchronized {
+          if (!new java.io.File(d, "_SUCCESS").exists())
+            ImageSynth.writeImagesTable(spark, d, pages, hosts, partitions = conf.numPartitions)
+        }
         spark.read.parquet(d)
     }
     new Crawl(spark, table, images, conf, PhashOutlinks(pages, hosts, 4))
@@ -168,11 +175,15 @@ final class JobFactory(spark: SparkSession) {
 }
 
 object JobFactory {
+
+  private[api] val imageTableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   // JSON numbers arrive as BigInt/Double/Long depending on the parser path
+  // (scala BigInt extends java Number, so one branch covers them all)
   private[api] def long(args: Map[String, Any], k: String): Option[Long] =
     args.get(k).map {
       case n: Number => n.longValue
-      case b: BigInt => b.toLong
       case s: String => s.toLong
       case other => throw new IllegalArgumentException(s"$k: not a number: $other")
     }

@@ -220,16 +220,27 @@ final class Crawl(
     }
   }
 
+  /** Per-round stats off the committed DELTA snapshots — they ARE the
+    * round's cohorts: the update delta holds exactly the post-merge batch
+    * rows plus the round's new pages, so no latest-key-wins window over the
+    * whole table history is needed (the round-2 `statsOf` resolved the full
+    * view per round: a per-round full-table scan at 10^10 rows). Falls back
+    * to the resolved view only when a delta snapshot is missing (stats over
+    * a foreign/compacted table). */
   def statsOf(round: Int): RoundStats = {
     import graft.model.CrawlStatus
     val batchId = batchIdOf(round)
-    val rows = view.persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = table.snapshotFor(round, "update") match {
+      case Some(uid) => table.readSnapshot(spark, uid).drop("snapshot_id").as[WebPage]
+      case None => view
+    }
+    val upd = rows.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val batch = rows.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+      val batch = upd.filter(_.markers.get(Marks.GENERATE).contains(batchId))
       val byStatus = batch.groupByKey(_.status).count().collect().toMap
       val generated = byStatus.values.sum
-      val updatedRows = rows.filter(p => p.markers.get(Marks.UPDATEDB).contains(batchId))
-      val newPages = rows.filter(p => p.round == round &&
+      val updatedRows = upd.filter(p => p.markers.get(Marks.UPDATEDB).contains(batchId))
+      val newPages = upd.filter(p => p.round == round &&
         !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT))
       RoundStats(round,
         generated = generated,
@@ -242,6 +253,6 @@ final class Crawl(
           byStatus.getOrElse(CrawlStatus.UNFETCHED, 0L),
         updated = updatedRows.count(),
         newPages = newPages.count())
-    } finally rows.unpersist()
+    } finally upd.unpersist()
   }
 }

@@ -16,6 +16,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object PngCodec {
 
+  /** Decode ceiling — the Spark-idiomatic stand-in for the reference's 30 s
+    * parse-timeout thread (parse/ParseUtil.java:141-154): an adversarial
+    * header claiming a multi-gigapixel image must fail fast with a clean
+    * exception (ParserJob maps it to ParseStatus Failed) instead of wedging
+    * an executor core in allocation/inflate. 16.7M pixels = 50 MB RGB. */
+  val MaxPixels: Long = 1L << 24
+
   private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
   private val deflaterLocal = new ThreadLocal[Deflater] {
@@ -96,9 +103,18 @@ object PngCodec {
       val len = be(pos)
       val tag = new String(png, pos + 4, 4, "US-ASCII")
       val dataOff = pos + 8
+      // a negative or past-the-end chunk length is corruption, not an
+      // unsupported subset: fail fast (no wild position jumps, no fallback
+      // hand-off to another decoder)
+      if (len < 0 || dataOff + len.toLong + 4 > png.length)
+        throw new IllegalArgumentException(
+          s"corrupt PNG: chunk $tag declares $len bytes beyond the payload")
       tag match {
         case "IHDR" =>
           w = be(dataOff); h = be(dataOff + 4)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
+            throw new IllegalArgumentException(
+              s"PNG dimension bomb: ${w}x$h exceeds $MaxPixels pixels")
           val bitDepth = png(dataOff + 8)
           val colorType = png(dataOff + 9)
           val interlace = png(dataOff + 12)

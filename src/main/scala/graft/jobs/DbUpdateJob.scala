@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.crawl.CrawlConfig
 import graft.model._
 import graft.schedule.FetchSchedule
-import graft.score.{OpicScoring, ScoreDatum}
+import graft.score.{ScoreDatum, ScoringFilter}
 import graft.seen.BloomSeen
 import graft.url.{Signatures, UrlUtil}
 
@@ -46,7 +46,7 @@ object DbUpdateJob {
 
   /** Map side: page msg + scored outlink msgs (DbUpdateMapper.map). Pure,
     * shared with refsim. */
-  def mapPage(page: WebPage, opic: OpicScoring): Seq[UpdateMsg] = {
+  def mapPage(page: WebPage, opic: ScoringFilter): Seq[UpdateMsg] = {
     if (!page.markers.contains(Marks.GENERATE)) return Seq.empty
     val depth = page.markers.get(Marks.DISTANCE).map(_.toInt).getOrElse(Int.MaxValue)
     val data = page.outlinks.toSeq.sortBy(_._1).map { case (toUrl, anchor) =>
@@ -79,7 +79,7 @@ object DbUpdateJob {
       curTime: Long, round: Int,
       newPages: NewPageBudget = new NewPageBudget(0)): Option[WebPage] = {
     val schedule = FetchSchedule(conf)
-    val opic = OpicScoring(conf)
+    val opic = ScoringFilter(conf)
 
     var page: WebPage = null
     val inlinked = scala.collection.mutable.LinkedHashMap.empty[String, ScoreDatum]
@@ -208,7 +208,7 @@ object DbUpdateJob {
   def update(spark: SparkSession, batchRows: Dataset[WebPage], conf: CrawlConfig,
       curTime: Long, round: Int): Dataset[WebPage] = {
     import spark.implicits._
-    val opic = OpicScoring(conf)
+    val opic = ScoringFilter(conf)
     val c = conf
     val t = curTime
     val r = round

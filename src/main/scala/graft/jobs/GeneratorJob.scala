@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.crawl.CrawlConfig
 import graft.model.{Marks, WebPage}
 import graft.schedule.FetchSchedule
-import graft.score.OpicScoring
+import graft.score.ScoringFilter
 import graft.url.{RegexUrlFilter, UrlNormalizers, UrlPartitioner, UrlUtil}
 
 /** The generate stage: select the fetchlist for a round.
@@ -32,7 +32,7 @@ object GeneratorJob {
     * shared with refsim. Returns None when the row is filtered out. */
   def candidate(page: WebPage, conf: CrawlConfig, curTime: Long,
       filter: RegexUrlFilter, schedule: FetchSchedule,
-      opic: OpicScoring): Option[(String, WebPage)] = {
+      opic: ScoringFilter): Option[(String, WebPage)] = {
     if (conf.generateMaxDistance > -1) {
       page.markers.get(Marks.DISTANCE).foreach { d =>
         if (d.toInt > conf.generateMaxDistance) return None
@@ -115,7 +115,7 @@ object GeneratorJob {
     import spark.implicits._
     val filter = if (conf.useDefaultUrlFilter) RegexUrlFilter.default else RegexUrlFilter.acceptAll
     val schedule = FetchSchedule(conf)
-    val opic = OpicScoring(conf)
+    val opic = ScoringFilter(conf)
     val c = conf
     val t = curTime
     val b = batchId

@@ -5,45 +5,97 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{CrawlStatus, Marks}
 
+/** One link of the document-building chain (reference extension point
+  * indexer/IndexingFilter.java, run in order by IndexingFilters.java; the
+  * shipped plugins index-basic / index-anchor / index-more / tld each add
+  * their fields to the NutchDocument). Spark mapping: each filter is a
+  * column transform over the parsed page rows — it appends (or rewrites)
+  * doc columns and the chain's fold IS the document. A user adds fields by
+  * appending a filter, never by editing IndexerJob.
+  */
+trait IndexingFilter extends Serializable {
+  def name: String
+  def apply(docs: DataFrame): DataFrame
+}
+
+/** index-basic (BasicIndexingFilter.java): identity, title, text, times,
+  * signature and the score boost. Boost = score^power * initScore — the
+  * OPIC indexer dampening (OPICScoringFilter.indexerScore, power 0.5),
+  * expressed columnar so it stays in whole-stage codegen. */
+final case class BasicIndexingFilter(scorePower: Double = 0.5) extends IndexingFilter {
+  val name = "basic"
+  def apply(docs: DataFrame): DataFrame = docs
+    .withColumn("doc_key", col("key"))
+    .withColumn("content_type", col("contentType"))
+    .withColumn("fetch_time", col("fetchTime"))
+    .withColumn("signature", hex(col("signature")))
+    .withColumn("boost", pow(col("score").cast("double"), scorePower))
+    .withColumn("batch_id", col("batchId"))
+}
+
+/** index-anchor (AnchorIndexingFilter.filter:75-100): every non-empty
+  * inbound anchor text, optionally case-insensitively deduplicated. */
+final case class AnchorIndexingFilter(deduplicate: Boolean = false) extends IndexingFilter {
+  val name = "anchor"
+  def apply(docs: DataFrame): DataFrame = {
+    val raw = filter(map_values(col("inlinks")), a => a =!= "")
+    val anchors =
+      if (deduplicate) array_distinct(transform(raw, a => lower(a)))
+      else raw
+    docs.withColumn("anchors", anchors)
+  }
+}
+
+/** index-more (MoreIndexingFilter.java): content length and last-modified
+  * time — not in the default chain (matching the reference's default
+  * plugin.includes), append it explicitly. */
+final case class MoreIndexingFilter() extends IndexingFilter {
+  val name = "more"
+  def apply(docs: DataFrame): DataFrame = docs
+    .withColumn("content_length",
+      coalesce(element_at(col("headers"), "Content-Length").cast("long"),
+        when(col("content").isNotNull, length(col("content")).cast("long"))))
+    .withColumn("last_modified", col("modifiedTime"))
+}
+
 /** The index stage: parsed pages -> a flat documents output table
   * (reference: indexer/IndexingJob.java + the solr/elastic sinks,
   * SURVEY.md A9). The reference ships rows to Solr; here the sink is a
   * columnar table — the shape a downstream search indexer or training-data
-  * exporter consumes. Boost = score^power * initScore, the OPIC indexer
-  * dampening (OPICScoringFilter.indexerScore, power 0.5).
+  * exporter consumes. Documents are built by the ordered IndexingFilter
+  * chain; custom filters' columns survive into the output after the
+  * canonical ones.
   */
 object IndexerJob {
 
+  /** The canonical doc schema the default chain produces (stable for the
+    * driver oracle and downstream readers). */
+  private val CanonicalCols = Seq("doc_key", "url", "title", "text", "anchors",
+    "content_type", "fetch_time", "signature", "boost", "batch_id", "round")
+
+  def defaultChain(scorePower: Double, deduplicateAnchors: Boolean): Seq[IndexingFilter] =
+    Seq(BasicIndexingFilter(scorePower), AnchorIndexingFilter(deduplicateAnchors))
+
   def buildDocs(pages: DataFrame, batchId: Option[String] = None,
-      scorePower: Double = 0.5, deduplicateAnchors: Boolean = false): DataFrame = {
+      scorePower: Double = 0.5, deduplicateAnchors: Boolean = false,
+      extraFilters: Seq[IndexingFilter] = Seq.empty): DataFrame = {
     val parsed = pages.where(
       col("status") === CrawlStatus.FETCHED &&
         element_at(col("markers"), Marks.PARSE).isNotNull &&
         batchId.map(b => element_at(col("markers"), Marks.PARSE) === b)
           .getOrElse(lit(true)))
-    // inbound anchor texts (reference: index-anchor AnchorIndexingFilter
-    // .filter:75-100 — every non-empty inlink anchor, optionally
-    // case-insensitively deduplicated)
-    val rawAnchors = filter(map_values(col("inlinks")), a => a =!= "")
-    val anchors =
-      if (deduplicateAnchors) array_distinct(transform(rawAnchors, a => lower(a)))
-      else rawAnchors
-    parsed.select(
-      col("key").as("doc_key"),
-      col("url"),
-      col("title"),
-      col("text"),
-      anchors.as("anchors"),
-      col("contentType").as("content_type"),
-      col("fetchTime").as("fetch_time"),
-      hex(col("signature")).as("signature"),
-      pow(col("score").cast("double"), scorePower).as("boost"),
-      col("batchId").as("batch_id"),
-      col("round"))
+    val chain = defaultChain(scorePower, deduplicateAnchors) ++ extraFilters
+    val withCols = chain.foldLeft(parsed)((df, f) => f(df))
+    // canonical columns first, then anything a custom filter added
+    val extras = withCols.columns
+      .filterNot(c => CanonicalCols.contains(c) || pages.columns.contains(c))
+    withCols.select((CanonicalCols ++ extras).map(col): _*)
   }
 
   /** Write the index delta for a batch (the IndexingJob map-only write). */
   def index(spark: SparkSession, pages: DataFrame, outDir: String,
-      batchId: Option[String] = None): Unit =
-    buildDocs(pages, batchId).write.mode("append").parquet(outDir)
+      batchId: Option[String] = None,
+      extraFilters: Seq[IndexingFilter] = Seq.empty): Unit =
+    buildDocs(pages, batchId, extraFilters = extraFilters)
+      .write.mode("append").parquet(outDir)
 }

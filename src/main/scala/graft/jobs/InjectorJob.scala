@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.crawl.CrawlConfig
 import graft.model.{CrawlStatus, Marks, WebPage}
-import graft.score.OpicScoring
+import graft.score.ScoringFilter
 import graft.url.{RegexUrlFilter, UrlNormalizers, UrlUtil}
 
 /** Seed injection: text lines `url[\t k=v]*` become frontier rows
@@ -53,7 +53,7 @@ object InjectorJob {
     if (url == null) return None
 
     val score = if (customScore != -1f) customScore else conf.scoreInjected
-    val opic = OpicScoring(conf)
+    val opic = ScoringFilter(conf)
     val page = opic.injectedScore(WebPage(
       url = url,
       key = UrlUtil.uuid3(url),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.crawl.CrawlConfig
 import graft.model.WebPage
 import graft.schedule.FetchSchedule
-import graft.score.OpicScoring
+import graft.score.ScoringFilter
 import graft.url.UrlUtil
 
 /** One edge of the link graph (reference: src/main/gora/link.avsc — key,
@@ -77,7 +77,7 @@ object LinkDb {
       round: Int = 0): Dataset[WebPage] = {
     import spark.implicits._
     val schedule = FetchSchedule(conf)
-    val opic = OpicScoring(conf)
+    val opic = ScoringFilter(conf)
     val targets = edges
       .groupByKey(_.key)
       .mapGroups { (key, it) =>

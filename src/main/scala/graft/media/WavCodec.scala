@@ -52,8 +52,14 @@ object WavCodec {
     while (buf.remaining() >= 8 && samples == null) {
       val id = tag()
       val size = buf.getInt
+      // declared chunk sizes are untrusted input: a size past the end of
+      // the payload (or a negative reinterpretation of an unsigned 32-bit
+      // value) must be a clean decode error, not a BufferUnderflowException
+      require(size >= 0 && size <= buf.remaining(),
+        s"corrupt WAV: chunk '$id' declares $size bytes, ${buf.remaining()} remain")
       id match {
         case "fmt " =>
+          require(size >= 16, s"corrupt WAV: fmt chunk of $size bytes")
           val start = buf.position()
           val fmt = buf.getShort
           require(fmt == 1, s"only PCM supported, got format $fmt")

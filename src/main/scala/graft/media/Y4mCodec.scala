@@ -51,6 +51,10 @@ object Y4mCodec {
       params.collectFirst { case s if s.nonEmpty && s.head == p => s.tail }
     val w = param('W').map(_.toInt).getOrElse(throw new IllegalArgumentException("no W"))
     val h = param('H').map(_.toInt).getOrElse(throw new IllegalArgumentException("no H"))
+    // untrusted header dims: fail fast on a frame-size bomb before any
+    // per-frame allocation (same ceiling policy as PngCodec.MaxPixels)
+    require(w > 0 && h > 0 && w.toLong * h <= graft.images.PngCodec.MaxPixels,
+      s"Y4M dimension bomb: ${w}x$h exceeds ${graft.images.PngCodec.MaxPixels} pixels")
     val (fn, fd) = param('F').map { f =>
       val Array(a, b) = f.split(':'); (a.toInt, b.toInt)
     }.getOrElse((25, 1))

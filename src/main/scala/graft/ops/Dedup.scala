@@ -80,6 +80,9 @@ object Dedup {
       .select(col("da"), explode(col("ids")).as("db"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    // NO deterministic-order tail here: a 100 TB pipeline caller must not
+    // pay a global sort on pair output — callers that need a stable order
+    // (the driver oracles, Queries.q_*) add their own orderBy
     inter
       .join(sizes.select(col(idCol).as("da"), col("sz").as("sa")), Seq("da"))
       .join(sizes.select(col(idCol).as("db"), col("sz").as("sb")), Seq("db"))
@@ -87,7 +90,6 @@ object Dedup {
         round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
 
   private val MinhashPrime = 2305843009213693951L // 2^61 - 1
@@ -135,11 +137,11 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) <= maxBucket)
       .select(col("ids"))
+    // no orderBy tail (see ngramJaccardPairs note)
     lists.select(explode(col("ids")).as("da"), col("ids"))
       .select(col("da"), explode(col("ids")).as("db"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-      .orderBy(col("da"), col("db"))
   }
 
   /** SimHash fingerprints (bits-wide) from token hashes: near-duplicates
@@ -186,8 +188,13 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** `checkEvery` propagation rounds run between convergence counts: the
+    * count is a driver action, so batching checks halves the action count
+    * on deep components; min-label propagation is monotone, so rounds past
+    * convergence are no-ops and the stop condition stays exact. */
   def dedupClusters(pairs: DataFrame, aCol: String = "da", bCol: String = "db",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkEvery: Int = 2): DataFrame = {
+    require(checkEvery >= 1)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -199,18 +206,23 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
-      val prop = edges
-        .join(labels.select(col("node").as("src"), col("label").as("slabel")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
-      val next = labels.join(prop, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+      var next = labels
+      var k = 0
+      while (k < checkEvery && iters < maxIters) {
+        val prop = edges
+          .join(next.select(col("node").as("src"), col("label").as("slabel")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
+        next = next.join(prop, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        k += 1
+        iters += 1
+      }
+      val stepped = next.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = stepped.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .where(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = next
-      iters += 1
+      labels = stepped
     }
     edges.unpersist()
     labels.select(col("node"), col("label").as("cluster"))

@@ -131,13 +131,14 @@ object Similarity {
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val vecs = corpus.select(col(idCol), col(embCol).cast("array<double>"))
+    // no orderBy tail: pipeline callers must not pay a global sort on pair
+    // output (the oracle wrappers in Queries add their own)
     cand
       .join(vecs.toDF("a", "ea"), Seq("a"))
       .join(vecs.toDF("b", "eb"), Seq("b"))
       .withColumn("sim", round(cosine(col("ea"), col("eb")), decimals))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
-      .orderBy(col("a"), col("b"))
   }
 
   // --------------------------------------------------------------- IVF ANN

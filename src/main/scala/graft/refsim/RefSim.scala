@@ -6,7 +6,7 @@ import graft.crawl.CrawlConfig
 import graft.images.ImageSynth
 import graft.jobs._
 import graft.model._
-import graft.score.OpicScoring
+import graft.score.ScoringFilter
 import graft.schedule.FetchSchedule
 import graft.site.{FetchEnv, OutlinkSource}
 import graft.url.{RegexUrlFilter, UrlNormalizers, UrlPartitioner, UrlUtil}
@@ -58,7 +58,7 @@ final class RefSim(
   private val filter =
     if (conf.useDefaultUrlFilter) RegexUrlFilter.default else RegexUrlFilter.acceptAll
   private val schedule = FetchSchedule(conf)
-  private val opic = OpicScoring(conf)
+  private val opic = ScoringFilter(conf)
 
   def batchIdOf(round: Int): String = s"batch-$round"
   def curTimeOf(round: Int): Long = baseTime + round.toLong * roundStepMs

@@ -24,24 +24,24 @@ case class ScoreDatum(
   * factors), resetting cash to 0; updatedb adds the sum of incoming cash to
   * both score and cash.
   */
-case class OpicScoring(conf: CrawlConfig) extends Serializable {
+case class OpicScoring(conf: CrawlConfig) extends ScoringFilter {
 
   /** Inject: cash := injected score (OPICScoringFilter.injectedScore:80-85). */
-  def injectedScore(page: WebPage): WebPage = page.copy(cash = page.score)
+  override def injectedScore(page: WebPage): WebPage = page.copy(cash = page.score)
 
   /** New page discovered by updatedb: score = cash = 1.0
     * (OPICScoringFilter.initialScore:88-97). */
-  def initialScore(page: WebPage): WebPage = page.copy(score = 1.0f, cash = 1.0f)
+  override def initialScore(page: WebPage): WebPage = page.copy(score = 1.0f, cash = 1.0f)
 
   /** Generate priority = the page score (OPICScoringFilter.generatorSortValue). */
-  def generatorSortValue(page: WebPage, initSort: Float): Float = page.score
+  override def generatorSortValue(page: WebPage, initSort: Float): Float = page.score
 
   /** Per-outlink cash distribution: cash/outdeg scaled by the internal or
     * external link factor; the page's cash resets to zero
     * (OPICScoringFilter.distributeScoreToOutlinks:124-158). Returns the
     * scored outlink data and the updated page.
     */
-  def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+  override def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
       scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage) = {
     val cash = page.cash
     if (cash == 0f) return (scoreData, page)
@@ -61,9 +61,14 @@ case class OpicScoring(conf: CrawlConfig) extends Serializable {
 
   /** updatedb merge: score += sum of inlinked cash; cash += score
     * (OPICScoringFilter.updateScore:105-122). */
-  def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = {
+  override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = {
     var score = page.score
     inlinked.foreach(sd => score += sd.score)
     page.copy(score = score, cash = page.cash + score)
   }
+
+  /** Indexer boost = score^0.5 * initScore — the OPIC dampening
+    * (OPICScoringFilter.indexerScore, indexer.score.power = 0.5). */
+  override def indexerScore(page: WebPage, initScore: Float): Float =
+    math.pow(page.score.toDouble, 0.5).toFloat * initScore
 }

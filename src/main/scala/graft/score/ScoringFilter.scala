@@ -1,0 +1,92 @@
+package graft.score
+
+import graft.crawl.CrawlConfig
+import graft.model.WebPage
+import graft.url.UrlUtil
+
+/** The pluggable scoring extension point (reference:
+  * scoring/ScoringFilter.java + the ScoringFilters registry) — the H-surface
+  * trait that lets a user swap the scoring policy by CONFIG
+  * (`scoringFilterClass`) without touching the Injector/Generator/DbUpdate
+  * call sites, exactly like the FetchSchedule/Protocol traits.
+  *
+  * Hook-for-hook with the reference interface: injectedScore, initialScore,
+  * generatorSortValue, distributeScoreToOutlinks, updateScore, indexerScore.
+  * Implementations must be pure row transforms (they run inside executor
+  * closures and inside the refsim oracle).
+  */
+trait ScoringFilter extends Serializable {
+
+  /** Inject: score/cash seeding of a seed row. */
+  def injectedScore(page: WebPage): WebPage
+
+  /** A page discovered by updatedb gets its starting score. */
+  def initialScore(page: WebPage): WebPage
+
+  /** Generate priority (the fetchlist sort key). */
+  def generatorSortValue(page: WebPage, initSort: Float): Float
+
+  /** Map-side outlink scoring during updatedb; returns the scored outlink
+    * data and the (possibly mutated) source page. */
+  def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+      scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage)
+
+  /** Reduce-side score merge from the inlinked score data. */
+  def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage
+
+  /** Index-time boost for the docs sink. */
+  def indexerScore(page: WebPage, initScore: Float): Float
+}
+
+object ScoringFilter {
+
+  /** Config-driven resolution (the FetchScheduleFactory pattern; reference
+    * ScoringFilters resolves plugin.includes the same way). */
+  def apply(conf: CrawlConfig): ScoringFilter = conf.scoringFilterClass match {
+    case "opic" => OpicScoring(conf)
+    case "link" => LinkAnalysisScoring(conf)
+    case "tld" => TldScoring(conf)
+    case other => throw new IllegalArgumentException(
+      s"unknown scoring filter '$other' (expected opic | link | tld)")
+  }
+}
+
+/** Link-analysis scoring (reference:
+  * plugin/scoring-link/.../LinkAnalysisScoringFilter.java): the page score
+  * is produced OFFLINE by a link-analysis job (e.g. the LinkDb surface);
+  * the crawl loop itself neither seeds nor propagates cash. New pages start
+  * at 0, generate priority multiplies the stored score into the init sort,
+  * and the indexer boost is the normalized stored score.
+  */
+case class LinkAnalysisScoring(conf: CrawlConfig) extends ScoringFilter {
+  override def injectedScore(page: WebPage): WebPage = page
+  override def initialScore(page: WebPage): WebPage = page.copy(score = 0.0f)
+  override def generatorSortValue(page: WebPage, initSort: Float): Float =
+    page.score * initSort
+  override def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+      scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage) =
+    (scoreData, page)
+  override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = page
+  override def indexerScore(page: WebPage, initScore: Float): Float =
+    conf.linkAnalysisNormalizedScore * page.score
+}
+
+/** TLD boosting (reference: plugin/tld/.../TLDScoringFilter.java): a
+  * crawl-neutral filter whose only effect is an index-time boost by the
+  * page's public-suffix TLD (the reference multiplies the boost attributes
+  * of the doc's tld field; suffix boosts default to 1.0). */
+case class TldScoring(conf: CrawlConfig,
+    boosts: Map[String, Float] = Map.empty) extends ScoringFilter {
+  override def injectedScore(page: WebPage): WebPage = page
+  override def initialScore(page: WebPage): WebPage = page
+  override def generatorSortValue(page: WebPage, initSort: Float): Float = initSort
+  override def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+      scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage) =
+    (scoreData, page)
+  override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = page
+  override def indexerScore(page: WebPage, initScore: Float): Float = {
+    val host = UrlUtil.getHost(page.url)
+    val tld = host.substring(host.lastIndexOf('.') + 1)
+    initScore * boosts.getOrElse(tld, 1.0f)
+  }
+}

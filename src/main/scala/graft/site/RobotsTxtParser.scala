@@ -61,7 +61,10 @@ object RobotsTxtParser {
           case "crawl-delay" =>
             inRules = true
             delay = try { (value.toDouble * 1000).toLong } catch { case _: Exception => delay }
-          case _ => if (agents.nonEmpty) inRules = true // sitemap etc: rule-position line
+          // only Allow/Disallow/Crawl-delay occupy rule positions: a
+          // Sitemap: (or unknown) line between consecutive User-agent lines
+          // must NOT split what RFC 9309 treats as one multi-agent group
+          case _ => ()
         }
       }
     }

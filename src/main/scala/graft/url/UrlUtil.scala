@@ -25,13 +25,24 @@ object UrlUtil {
     md.digest(bytes)
   }
 
-  /** Compact public-suffix set. The reference ships a full
-    * domain-suffixes.xml; we embed the common subset (generic TLDs, ccTLDs
-    * and frequent second-level registries) which is sufficient for the
-    * engine's byDomain grouping; unknown suffixes degrade to the last label,
-    * same as the reference's fallback loop.
+  /** Full public-suffix set: the reference's complete domain-suffixes.xml
+    * (2,678 suffixes — IANA TLDs plus registered second/third-level
+    * registries like `city.nagoya.jp`), shipped as a classpath resource,
+    * UNIONED with the engine's compact built-in set (so synthetic test
+    * TLDs like `.test` keep resolving even though IANA reserves them).
+    * Unknown suffixes still degrade to the last label, same as the
+    * reference's fallback loop (util/domain/DomainSuffixes.java:41-42).
     */
-  private val domainSuffixes: Set[String] = {
+  private val fullSuffixList: Set[String] = {
+    val in = getClass.getClassLoader.getResourceAsStream("graft/domain-suffixes.txt")
+    if (in == null) Set.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    } finally in.close()
+  }
+
+  private val compactSuffixes: Set[String] = {
     val generic = Set(
       "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
       "pro", "aero", "coop", "museum", "jobs", "mobi", "travel", "arpa",
@@ -53,6 +64,8 @@ object UrlUtil {
       "com.co", "com.my", "com.ph", "co.th", "com.vn", "co.il", "com.ua")
     generic ++ cc ++ secondLevel
   }
+
+  private val domainSuffixes: Set[String] = compactSuffixes ++ fullSuffixList
 
   def isDomainSuffix(s: String): Boolean = domainSuffixes.contains(s)
 

@@ -113,6 +113,10 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // unknown job id and bad requests surface as HTTP errors, not 500s
     assert(get("/job/nope-1")._1 == 404)
+    // malformed bodies are client errors, not 500s: unparsable JSON and a
+    // JSON array where an object is required
+    assert(send("POST", "/job/create", """{not json""")._1 == 400)
+    assert(send("POST", "/job/create", """[1,2,3]""")._1 == 400)
     assert(send("POST", "/job/create", """{"crawlId":"x"}""")._1 == 400)
     assert(send("POST", "/job/create",
       """{"crawlId":"x","type":"NOPE"}""")._1 == 400)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.crawl.{Crawl, CrawlConfig}
+import graft.crawl.{Crawl, CrawlConfig, RoundStats}
 import graft.images.ImageSynth
 import graft.jobs.FetcherJobKeys
 import graft.model.{CrawlStatus, Marks, WebPage}
@@ -247,6 +247,46 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(after == before + 3, "resume must only run the missing round") // generate+fetch+update
 
     assert(finalState(dirA) == finalState(dirB))
+  }
+
+  test("statsOf reads the round's update delta and equals the view-derived stats") {
+    import graft.model.CrawlStatus
+    val nPages = 150L
+    val nHosts = 5
+    val conf = baseConf.copy(topN = 10, numPartitions = 4)
+    val source = PhashOutlinks(nPages, nHosts, degree = 3)
+    val seeds = Seq(ImageSynth.urlOf(0, nHosts), ImageSynth.urlOf(1, nHosts))
+    val dir = SparkTestBase.tmpDir("stats-delta")
+    val images = ImageSynth.imagesDf(spark, nPages, nHosts, partitions = 4)
+    val crawl = new Crawl(spark, dir, images, conf, source)
+    crawl.inject(seeds)
+
+    // per round: recompute the stats with the round-2 formula (full
+    // resolved view, evaluated at round end like the old statsOf) and
+    // require equality with the delta-based RoundStats
+    (1 to 3).foreach { r =>
+      crawl.generate(r); crawl.fetchAndParse(r); crawl.update(r)
+      val stats = crawl.statsOf(r)
+      val view = crawl.table.currentView(spark).drop("snapshot_id").as[WebPage].collect().toSeq
+      val batchId = crawl.batchIdOf(r)
+      val batch = view.filter(_.markers.get(Marks.GENERATE).contains(batchId))
+      val byStatus = batch.groupBy(_.status).view.mapValues(_.size.toLong).toMap
+      val want = RoundStats(r,
+        generated = byStatus.values.sum,
+        fetched = byStatus.getOrElse(CrawlStatus.FETCHED, 0L) +
+          byStatus.getOrElse(CrawlStatus.NOTMODIFIED, 0L),
+        gone = byStatus.getOrElse(CrawlStatus.GONE, 0L),
+        redirected = byStatus.getOrElse(CrawlStatus.REDIR_TEMP, 0L) +
+          byStatus.getOrElse(CrawlStatus.REDIR_PERM, 0L),
+        retried = byStatus.getOrElse(CrawlStatus.RETRY, 0L) +
+          byStatus.getOrElse(CrawlStatus.UNFETCHED, 0L),
+        updated = view.count(p => p.markers.get(Marks.UPDATEDB).contains(batchId)).toLong,
+        newPages = view.count(p => p.round == r &&
+          !p.markers.contains(Marks.GENERATE) && !p.markers.contains(Marks.INJECT)).toLong)
+      assert(stats == want, s"round $r delta stats diverge from view stats")
+      // sanity: the rounds did real work
+      assert(stats.generated > 0 && stats.fetched > 0)
+    }
   }
 
   test("incremental seen bank: one full build, O(delta) adds, checkpoint resume (C10 integration)") {

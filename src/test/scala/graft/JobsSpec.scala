@@ -62,6 +62,34 @@ class JobsSpec extends AnyFunSuite {
     }
   }
 
+  test("indexing filter chain (H): a custom filter adds a column, built-ins compose, no IndexerJob edits") {
+    import org.apache.spark.sql.functions._
+    val pages = crawled.table.currentView(spark).drop("snapshot_id")
+    // custom filter in the reference tld-plugin shape: adds the url's TLD
+    val tldFilter = new graft.jobs.IndexingFilter {
+      val name = "tld"
+      def apply(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        docs.withColumn("tld", element_at(split(col("url"), "\\."), -1))
+    }
+    val docs = IndexerJob.buildDocs(pages,
+      extraFilters = Seq(graft.jobs.MoreIndexingFilter(), tldFilter))
+    // canonical columns unchanged, extras appended after them
+    val cols = docs.columns.toSeq
+    assert(cols.take(11) == Seq("doc_key", "url", "title", "text", "anchors",
+      "content_type", "fetch_time", "signature", "boost", "batch_id", "round"))
+    assert(cols.contains("tld") && cols.contains("content_length"))
+    val rows = docs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { d =>
+      assert(d.getAs[String]("tld").nonEmpty)
+      assert(d.getAs[Double]("boost") > 0)
+    }
+    // the default chain's output is unaffected by the existence of extras
+    assert(IndexerJob.buildDocs(pages).columns.toSeq ==
+      Seq("doc_key", "url", "title", "text", "anchors", "content_type",
+        "fetch_time", "signature", "boost", "batch_id", "round"))
+  }
+
   test("seed-file scan (A1): inject from a text file with metadata") {
     val f = java.nio.file.Files.createTempFile("seeds", ".txt")
     java.nio.file.Files.writeString(f,

@@ -54,6 +54,25 @@ class OpsSpec extends AnyFunSuite {
     assert(video.forall(v => v.n_frames > 0 && v.frame_phashes.length == v.n_frames))
   }
 
+  test("pair-mining ops emit unsorted streams: no global Sort in the plan (oracle sort lives in Queries)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }.size
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, Seq.fill(64)(0.5)), (2L, Seq.fill(64)(0.5)))
+      .toDF("vec_id", "embedding")
+    assert(globalSorts(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.1)) == 0)
+    assert(globalSorts(graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text")) == 0)
+    assert(globalSorts(graft.ops.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.9)) == 0)
+    // the query wrapper re-adds the oracle's deterministic order
+    assert(globalSorts(Queries.all("q_dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")) == 1)
+  }
+
   test("dedup clusters: connected components over candidate pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -65,4 +65,58 @@ class PngCodecSpec extends AnyFunSuite {
     val (gray, gw, gh) = ImageSynth.decodeRgb(bos.toByteArray)
     assert(gw == 4 && gh == 4 && gray.length == 48)
   }
+
+  test("adversarial payloads fail fast with clean errors, bounded time (ParseUtil timeout analogue)") {
+    def be(i: Int): Array[Byte] = Array(((i >> 24) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      be(data.length) ++ tag.getBytes("US-ASCII") ++ data ++ be(crc.getValue.toInt)
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    // dimension bomb: header claims 65535x65535 (4.3 gigapixels)
+    val bombIhdr = be(65535) ++ be(65535) ++ Array[Byte](8, 2, 0, 0, 0)
+    val bomb = sig ++ chunk("IHDR", bombIhdr) ++ chunk("IEND", Array.emptyByteArray)
+    val t0 = System.nanoTime()
+    val e1 = intercept[IllegalArgumentException](PngCodec.decodeRgb(bomb))
+    assert(e1.getMessage.contains("dimension bomb"))
+    assert((System.nanoTime() - t0) < 1e9, "bomb must be rejected instantly")
+
+    // corrupt chunk length pointing past the payload end
+    val ok = PngCodec.encodeRgb(Array.fill(4 * 4 * 3)(7.toByte), 4, 4)
+    val corrupt = ok.clone()
+    corrupt(8) = 0x7f // IHDR length 0x7f00000d
+    val e2 = intercept[IllegalArgumentException](PngCodec.decodeRgb(corrupt))
+    assert(e2.getMessage.contains("corrupt PNG"))
+
+    // the parse stage maps the failure to ParseStatus Failed (no wedge)
+    import graft.jobs.{ParserJob, ParseStatusCodes}
+    import graft.model.{CrawlStatus, Marks, WebPage}
+    val page = WebPage(url = "http://bomb.test/x.html", status = CrawlStatus.FETCHED,
+      content = bomb, markers = Map(Marks.FETCH -> "b-1"))
+    val parsed = ParserJob.parsePage(page, graft.crawl.CrawlConfig(),
+      graft.site.MapOutlinks(Map.empty), graft.url.RegexUrlFilter.acceptAll, "b-1")
+    assert(parsed.parseStatus != null &&
+      parsed.parseStatus.majorCode == ParseStatusCodes.Failed)
+  }
+
+  test("WAV/Y4M guards: oversized chunk sizes and dimension bombs are clean errors") {
+    import graft.media.{WavCodec, Y4mCodec}
+    // WAV data chunk claiming 2 GB with 8 bytes present
+    val wav = WavCodec.encode(Array.fill(16)(100.toShort), 8000)
+    val evil = wav.clone()
+    // the data chunk size field sits at offset 40 in the canonical header
+    evil(40) = 0xff.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](WavCodec.decode(evil))
+    assert(e.getMessage.contains("corrupt WAV"))
+
+    // Y4M header claiming 100000x100000 frames
+    val y4m = "YUV4MPEG2 W100000 H100000 F25:1 Ip A1:1 C420\nFRAME\n"
+      .getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException](Y4mCodec.decode(y4m))
+    assert(e2.getMessage.contains("dimension bomb"))
+  }
 }

@@ -94,6 +94,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(env.robotsFor("h3").isAllowed("http://h3/q")) // absent host: allow
   }
 
+  test("Sitemap/unknown lines do not split a multi-agent group (RFC 9309 group boundaries)") {
+    // a Sitemap: line BETWEEN consecutive User-agent lines must not close
+    // the group: Agent2 still shares Agent1's rules
+    val txt =
+      """User-agent: Agent1
+        |Sitemap: http://h/sitemap.xml
+        |User-agent: Agent2
+        |Disallow: /private
+        |""".stripMargin
+    val r1 = RobotsTxtParser.parse("h", txt, "agent1")
+    val r2 = RobotsTxtParser.parse("h", txt, "agent2")
+    assert(!r1.isAllowed("http://h/private/x"), "Agent1 must own the group's rules")
+    assert(!r2.isAllowed("http://h/private/x"), "Agent2 must share the same group")
+    // but a User-agent AFTER rule lines still starts a fresh group
+    val split =
+      """User-agent: Agent1
+        |Disallow: /a
+        |User-agent: Agent2
+        |Disallow: /b
+        |""".stripMargin
+    val s1 = RobotsTxtParser.parse("h", split, "agent1")
+    val s2 = RobotsTxtParser.parse("h", split, "agent2")
+    assert(!s1.isAllowed("http://h/a/x") && s1.isAllowed("http://h/b/x"))
+    assert(!s2.isAllowed("http://h/b/x") && s2.isAllowed("http://h/a/x"))
+  }
+
   test("empty/absent robots allow everything; empty Disallow value is a no-op") {
     assert(RobotsTxtParser.parse("h", "", "bot").isAllowed("http://h/anything"))
     val txt = "User-agent: *\nDisallow:\n"
