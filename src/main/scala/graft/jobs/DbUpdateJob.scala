@@ -254,7 +254,9 @@ object DbUpdateJob {
 
   def mergeSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
       seen: BloomSeen, existingRows: Dataset[WebPage],
-      metrics: Option[SeenMergeMetrics] = None): Dataset[WebPage] = {
+      metrics: Option[SeenMergeMetrics] = None,
+      broadcastMaxKeys: Long = 5000000L): Dataset[WebPage] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val b = spark.sparkContext.broadcast(seen)
     // rows produced by the new-page branch carry no pipeline marks
@@ -279,7 +281,31 @@ object DbUpdateJob {
     val maybeSeen = candidates
       .filter(p => b.value.mightContain(p.key))
       .map(p => (p.key, p))
-    val existingKeyed = existingRows.map(p => (p.key, p))
+    // The store side must NEVER shuffle: a plain equi-join here plans a
+    // sort-merge join that exchanges and sorts the WHOLE store every round
+    // (the 10^10-row side), for a delta-sized probe set. Instead the
+    // positive keys broadcast into a left-semi scan of the store (narrow,
+    // one pass, no sort — the putIfAbsent point-probe analogue), and the
+    // outer merge join then runs between two delta-sized sets. Guarded:
+    // if the positive set outgrows broadcast capacity, fall back to the
+    // shuffle join (correct at any size, just not the cluster-fast path).
+    // Honest A/B (4M-row store, 120k candidates, local[32], min-of-3):
+    // SMJ 2.0 s vs broadcast-semi 3.0 s — LOCAL mode's tmpfs shuffle hides
+    // the cost this shape exists to avoid; on a cluster the SMJ writes the
+    // whole store to shuffle (AQE's SMJ->BHJ conversion still pays the
+    // shuffle WRITE) and sorts it, while the semi path is one narrow scan.
+    // The choice optimizes the 1000-executor case, not the sandbox.
+    // The count and the re-derivations of maybeSeen are passes over
+    // `updated`, which callers persist (Crawl.update) — cache reads.
+    val nPositives = maybeSeen.count()
+    val existingKeyed: Dataset[(String, WebPage)] =
+      if (nPositives <= broadcastMaxKeys) {
+        val posKeys = maybeSeen.map(_._1).toDF("key")
+        existingRows.join(broadcast(posKeys), Seq("key"), "left_semi")
+          .as[WebPage].map(p => (p.key, p))
+      } else {
+        existingRows.map(p => (p.key, p))
+      }
     val merged = maybeSeen
       .joinWith(existingKeyed, maybeSeen("_1") === existingKeyed("_1"), "left_outer")
       .map { case ((_, cand), old0) =>
