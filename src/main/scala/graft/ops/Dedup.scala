@@ -34,7 +34,14 @@ object Dedup {
     * positions (which lack a full n-gram) are nulled out explicitly and
     * dropped after the explode — exactly the i in [0, len-n] window the
     * DuckDB oracle computes. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
+
+  /** Shingle stream WITHOUT per-document dedup — one narrow explode, no
+    * shuffle. Consumers whose aggregation is dedup-insensitive (`min` for
+    * minhash) or dedups for free (`collect_set` posting lists) use this and
+    * save the full (id, shingle) distinct exchange. */
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val ws = col("ws")
     // slice length must be exact: start + a huge length overflows int
     // inside Slice and yields an empty array
@@ -46,7 +53,6 @@ object Dedup {
       .select(col(idCol), split(lower(col(textCol)), "\\s+").as("ws"))
       .select(col(idCol), explode(grams).as("shingle"))
       .where(col("shingle").isNotNull && col("shingle") =!= "")
-      .distinct()
   }
 
   /** N-gram Jaccard near-duplicate pairs above a threshold, via an inverted
@@ -67,9 +73,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDf: Long = 500L): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // collect_set over the RAW shingle stream: the per-document dedup that
+    // used to be a full (id, shingle) distinct exchange happens inside this
+    // one aggregation (partial sets merge map-side) — one shuffle, not two
+    val sh = shinglesRaw(docs, idCol, textCol, n)
     val lists = sh.groupBy(col("shingle"))
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(collect_set(col(idCol)).as("ids"))
       .where(size(col("ids")) <= maxDf)
       .select(col("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -102,7 +111,9 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 6, n: Int = 3): DataFrame = {
     require(k <= MinhashA.length, s"up to ${MinhashA.length} hash functions supported")
-    val sh = shingles(docs, idCol, textCol, n).withColumn("x", hash40(col("shingle")))
+    // min is idempotent under duplicates: the raw shingle stream needs no
+    // distinct exchange before the signature aggregation
+    val sh = shinglesRaw(docs, idCol, textCol, n).withColumn("x", hash40(col("shingle")))
     val mhCols = (0 until k).map(i =>
       min((col("x") * MinhashA(i) + MinhashB(i)) % MinhashPrime).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(mhCols.head, mhCols.tail: _*)
