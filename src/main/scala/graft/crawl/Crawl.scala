@@ -90,24 +90,26 @@ final class Crawl(
     var updated = DbUpdateJob.update(spark, batch, conf, curTimeOf(round), round)
     if (conf.filterSeenNewPages) {
       // scale path: the partitioned bloom bank prefilters discovered urls;
-      // bloom-positives join the store and merge state-preservingly
-      // (DbUpdateJob.mergeSeenNewPages). The bank is MAINTAINED, not
-      // rebuilt: one full build ever (or a checkpoint load on resume),
+      // bloom-positives probe the store and merge state-preservingly
+      // (DbUpdateJob.mergeSeenNewPagesOverStore). The bank is MAINTAINED,
+      // not rebuilt: one full build ever (or a checkpoint load on resume),
       // then O(delta) adds per round — the reference never rescans either
-      // (putIfAbsent probes the store, FrontierJob.java:62-71).
-      val v = view.persist(StorageLevel.MEMORY_AND_DISK)
+      // (putIfAbsent probes the store, FrontierJob.java:62-71). The store
+      // side is the RAW multi-version frame: latest-key-wins resolution
+      // happens after pruning to the positive keys, so no full
+      // latest-per-key window materializes per round.
       // the merge consumes `updated` three ways (batch rows, bloom-negative
       // new pages, bloom-positive store join); persist so the update
       // shuffle+reduce runs once, not once per branch
       val u = updated.persist(StorageLevel.MEMORY_AND_DISK)
       val seen = ensureSeenBank()
-      val merged = DbUpdateJob.mergeSeenNewPages(spark, u, seen, v)
+      val merged = DbUpdateJob.mergeSeenNewPagesOverStore(spark, u, seen,
+        table.readAll(spark))
       val id = table.append(merged.toDF(), round, "update")
       // fold this round's new keys into the bank and checkpoint it next to
       // the snapshot, so a restarted crawl loads instead of rebuilding
       catchUpSeenBank(seen)
       checkpointSeenBank(seen)
-      v.unpersist()
       u.unpersist()
       id
     } else {

@@ -252,11 +252,11 @@ object DbUpdateJob {
       spark.sparkContext.longAccumulator("seenMerge.bloomPositives"))
   }
 
-  def mergeSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
-      seen: BloomSeen, existingRows: Dataset[WebPage],
-      metrics: Option[SeenMergeMetrics] = None,
-      broadcastMaxKeys: Long = 5000000L): Dataset[WebPage] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+  /** The three delta-sized streams of the discovered-URL merge:
+    * batch rows, bloom-negative new pages, bloom-positive candidates. */
+  private def splitCandidates(spark: SparkSession, updated: Dataset[WebPage],
+      seen: BloomSeen, metrics: Option[SeenMergeMetrics])
+      : (Dataset[WebPage], Dataset[WebPage], Dataset[(String, WebPage)], Long) = {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(seen)
     // rows produced by the new-page branch carry no pipeline marks
@@ -281,31 +281,18 @@ object DbUpdateJob {
     val maybeSeen = candidates
       .filter(p => b.value.mightContain(p.key))
       .map(p => (p.key, p))
-    // The store side must NEVER shuffle: a plain equi-join here plans a
-    // sort-merge join that exchanges and sorts the WHOLE store every round
-    // (the 10^10-row side), for a delta-sized probe set. Instead the
-    // positive keys broadcast into a left-semi scan of the store (narrow,
-    // one pass, no sort — the putIfAbsent point-probe analogue), and the
-    // outer merge join then runs between two delta-sized sets. Guarded:
-    // if the positive set outgrows broadcast capacity, fall back to the
-    // shuffle join (correct at any size, just not the cluster-fast path).
-    // Honest A/B (4M-row store, 120k candidates, local[32], min-of-3):
-    // SMJ 2.0 s vs broadcast-semi 3.0 s — LOCAL mode's tmpfs shuffle hides
-    // the cost this shape exists to avoid; on a cluster the SMJ writes the
-    // whole store to shuffle (AQE's SMJ->BHJ conversion still pays the
-    // shuffle WRITE) and sorts it, while the semi path is one narrow scan.
-    // The choice optimizes the 1000-executor case, not the sandbox.
-    // The count and the re-derivations of maybeSeen are passes over
-    // `updated`, which callers persist (Crawl.update) — cache reads.
-    val nPositives = maybeSeen.count()
-    val existingKeyed: Dataset[(String, WebPage)] =
-      if (nPositives <= broadcastMaxKeys) {
-        val posKeys = maybeSeen.map(_._1).toDF("key")
-        existingRows.join(broadcast(posKeys), Seq("key"), "left_semi")
-          .as[WebPage].map(p => (p.key, p))
-      } else {
-        existingRows.map(p => (p.key, p))
-      }
+    // the count and re-derivations of maybeSeen are passes over `updated`,
+    // which callers persist (Crawl.update) — cache reads, not recomputes
+    (fromBatch, definitelyNew, maybeSeen, maybeSeen.count())
+  }
+
+  /** State-preserving merge of bloom-positive candidates into their
+    * existing rows (see mergeSeenNewPages doc for the semantics upgrade). */
+  private def mergePositives(fromBatch: Dataset[WebPage],
+      definitelyNew: Dataset[WebPage], maybeSeen: Dataset[(String, WebPage)],
+      existingKeyed: Dataset[(String, WebPage)]): Dataset[WebPage] = {
+    val session = fromBatch.sparkSession
+    import session.implicits._
     val merged = maybeSeen
       .joinWith(existingKeyed, maybeSeen("_1") === existingKeyed("_1"), "left_outer")
       .map { case ((_, cand), old0) =>
@@ -327,5 +314,71 @@ object DbUpdateJob {
         }
       }
     fromBatch.union(definitelyNew).union(merged)
+  }
+
+  def mergeSeenNewPages(spark: SparkSession, updated: Dataset[WebPage],
+      seen: BloomSeen, existingRows: Dataset[WebPage],
+      metrics: Option[SeenMergeMetrics] = None,
+      broadcastMaxKeys: Long = 5000000L): Dataset[WebPage] = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val (fromBatch, definitelyNew, maybeSeen, nPositives) =
+      splitCandidates(spark, updated, seen, metrics)
+    // The store side must NEVER shuffle: a plain equi-join here plans a
+    // sort-merge join that exchanges and sorts the WHOLE store every round
+    // (the 10^10-row side), for a delta-sized probe set. Instead the
+    // positive keys broadcast into a left-semi scan of the store (narrow,
+    // one pass, no sort — the putIfAbsent point-probe analogue), and the
+    // outer merge join then runs between two delta-sized sets. Guarded:
+    // if the positive set outgrows broadcast capacity, fall back to the
+    // shuffle join (correct at any size, just not the cluster-fast path).
+    // Honest A/B (4M-row store, 120k candidates, local[32], min-of-3):
+    // SMJ 2.0 s vs broadcast-semi 3.0 s — LOCAL mode's tmpfs shuffle hides
+    // the cost this shape exists to avoid; on a cluster the SMJ writes the
+    // whole store to shuffle (AQE's SMJ->BHJ conversion still pays the
+    // shuffle WRITE) and sorts it, while the semi path is one narrow scan.
+    // The choice optimizes the 1000-executor case, not the sandbox.
+    val existingKeyed: Dataset[(String, WebPage)] =
+      if (nPositives <= broadcastMaxKeys) {
+        val posKeys = maybeSeen.map(_._1).toDF("key")
+        existingRows.join(broadcast(posKeys), Seq("key"), "left_semi")
+          .as[WebPage].map(p => (p.key, p))
+      } else {
+        existingRows.map(p => (p.key, p))
+      }
+    mergePositives(fromBatch, definitelyNew, maybeSeen, existingKeyed)
+  }
+
+  /** mergeSeenNewPages over the RAW multi-version snapshot frame (columns =
+    * WebPage + `snapshot_id`) instead of a pre-resolved view: the
+    * latest-key-wins resolution happens AFTER pruning to the positive keys,
+    * so the update round never materializes the full latest-per-key window
+    * — at 10^10 rows that window is a whole-store shuffle+sort per round,
+    * paid to serve a delta-sized probe set. Here the store cost is ONE
+    * narrow scan (the broadcast semi join), and the window runs over the
+    * pruned hits only (delta-sized). Falls back to resolving everything
+    * when the positive set outgrows broadcast capacity. */
+  def mergeSeenNewPagesOverStore(spark: SparkSession, updated: Dataset[WebPage],
+      seen: BloomSeen, store: org.apache.spark.sql.DataFrame,
+      metrics: Option[SeenMergeMetrics] = None,
+      broadcastMaxKeys: Long = 5000000L): Dataset[WebPage] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    import spark.implicits._
+    val (fromBatch, definitelyNew, maybeSeen, nPositives) =
+      splitCandidates(spark, updated, seen, metrics)
+    val latest = Window.partitionBy(col("key")).orderBy(col("snapshot_id").desc)
+    def resolve(df: org.apache.spark.sql.DataFrame): Dataset[(String, WebPage)] =
+      df.withColumn("__rn", row_number().over(latest))
+        .where(col("__rn") === 1).drop("__rn", "snapshot_id")
+        .as[WebPage].map(p => (p.key, p))
+    val existingKeyed: Dataset[(String, WebPage)] =
+      if (nPositives <= broadcastMaxKeys) {
+        val posKeys = maybeSeen.map(_._1).toDF("key")
+        resolve(store.join(broadcast(posKeys), Seq("key"), "left_semi"))
+      } else {
+        resolve(store)
+      }
+    mergePositives(fromBatch, definitelyNew, maybeSeen, existingKeyed)
   }
 }
