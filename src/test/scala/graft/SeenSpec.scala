@@ -33,6 +33,30 @@ class SeenSpec extends AnyFunSuite {
     assert(fps < 250, s"fpp too high: $fps/5000")
   }
 
+  test("addAll delta folds: no false negatives, equals a from-scratch build over the union") {
+    val base = (0 until 3000).map(i => s"base-$i")
+    val delta1 = (0 until 800).map(i => s"d1-$i")
+    val delta2 = (0 until 500).map(i => s"d2-$i")
+    val bank = BloomSeen.build(spark.sparkContext.parallelize(base, 8),
+      numParts = 16, expectedItems = 5000, fpp = 0.01)
+    BloomSeen.addAll(bank, spark.sparkContext.parallelize(delta1, 8))
+    BloomSeen.addAll(bank, spark.sparkContext.parallelize(delta2, 5))
+    // the bloom invariant that makes the crawl loop correct: a delta-added
+    // key can NEVER be a false negative
+    assert((base ++ delta1 ++ delta2).forall(bank.mightContain))
+    // bit-identical to building once over the union (add is commutative OR)
+    val all = BloomSeen.build(spark.sparkContext.parallelize(base ++ delta1 ++ delta2, 8),
+      numParts = 16, expectedItems = 5000, fpp = 0.01)
+    (0 until 16).foreach { p =>
+      assert(bank.parts(p).toBytes.sameElements(all.parts(p).toBytes),
+        s"part $p diverged from the from-scratch build")
+    }
+    // empty delta is a no-op
+    val before = bank.parts.map(_.approxBitsSet).toSeq
+    BloomSeen.addAll(bank, spark.sparkContext.parallelize(Seq.empty[String], 4))
+    assert(bank.parts.map(_.approxBitsSet).toSeq == before)
+  }
+
   test("empirical FPP matches the configured FPP at 10^7 keys (128-bit base hash)") {
     // With a 32-bit base hash this test fails: colliding (hashCode, length)
     // pairs floor the FPP well above the configured rate long before 10^7
