@@ -127,7 +127,17 @@ object GeneratorJob {
 
     // salted host-hash partitioning; seed = round so hosts move between
     // rounds (URLPartitioner seed semantics)
-    val keyed = candidates.rdd.map { case (selUrl, page) =>
+    val keyed = candidates.rdd.map { case (selUrl, page0) =>
+      // strip payload bytes BEFORE the exchange: a fetched row selected for
+      // refetch becomes a content-free version carrier in the reducer
+      // anyway (rekey branch below), so shipping its content/text through
+      // the shuffle is pure waste — at fetcher.store.content=true scale
+      // that is the corpus riding the generate exchange
+      val page =
+        if (page0.markers.contains(Marks.FETCH) &&
+          (page0.content != null || page0.text != null))
+          page0.copy(content = null, text = null)
+        else page0
       val pid = UrlPartitioner.getPartition(selUrl, n, seed = r, mode = c.partitionMode,
         normalizer = u => {
           val v = UrlNormalizers.normalize(u, UrlNormalizers.ScopePartition)
