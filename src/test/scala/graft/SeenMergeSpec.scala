@@ -62,6 +62,28 @@ class SeenMergeSpec extends AnyFunSuite {
     assert(b2.status == graft.model.CrawlStatus.UNFETCHED)
   }
 
+  test("store-probe merge resolves latest-key-wins AFTER pruning (multi-version store frame)") {
+    import graft.jobs.DbUpdateJob
+    import graft.seen.BloomSeen
+    import org.apache.spark.sql.functions.{col, lit}
+    // the same key across two snapshots: the merge must fold into the
+    // NEWER version (snapshot_id 7), not the stale one
+    val vOld = WebPage(key = "k1", url = "http://h.test/e1", score = 2.0f, cash = 1.0f)
+    val vNew = WebPage(key = "k1", url = "http://h.test/e1", score = 9.0f, cash = 3.0f)
+    val other = WebPage(key = "k2", url = "http://h.test/e2", score = 5.0f)
+    val store = spark.createDataset(Seq(vOld, other)).toDF().withColumn("snapshot_id", lit(3L))
+      .unionByName(spark.createDataset(Seq(vNew)).toDF().withColumn("snapshot_id", lit(7L)))
+    val seen = BloomSeen.empty(numParts = 4, expectedItems = 1000, fpp = 0.01)
+    seen.add("k1"); seen.add("k2")
+    val cand = WebPage(key = "k1", url = "http://h.test/e1", score = 1.5f)
+    val updated = spark.createDataset(Seq(cand))
+    val out = DbUpdateJob.mergeSeenNewPagesOverStore(spark, updated, seen, store).collect()
+    assert(out.length == 1)
+    // merged into vNew: score = 9.0 + (1.5 - 1.0) = 9.5, cash = 3.0 + 9.5
+    assert(math.abs(out.head.score - 9.5f) < 1e-6, s"merged into the wrong version: ${out.head.score}")
+    assert(math.abs(out.head.cash - 12.5f) < 1e-6)
+  }
+
   test("store join sees only the bloom-positive candidate slice, once each") {
     import graft.jobs.DbUpdateJob
     import graft.seen.BloomSeen
