@@ -438,6 +438,42 @@ object Queries {
       "vec_id", "embedding", dim = 64, nBits = 8, nTables = 3, k = 3)
   }
 
+  /** A9/H: the IndexingFilter chain end-to-end — pages synthesized
+    * deterministically from `documents` flow through buildDocs (basic +
+    * anchor filters: identity columns, hex signature, OPIC-dampened boost,
+    * non-empty inbound anchors), and DuckDB rebuilds the identical docs
+    * from the same formulas. Anchors compare as a joined string so the
+    * array column hashes engine-portably. */
+  private def qIndexerDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        graft.model.WebPage(
+          url = s"http://h${id % 20}.example.com/p/$id.html",
+          key = s"k$id",
+          status = graft.model.CrawlStatus.FETCHED,
+          title = s"doc-$id",
+          text = s"text of $id",
+          contentType = "image/png",
+          fetchTime = 1700000000000L + id,
+          signature = graft.url.UrlUtil.md5(s"sig$id".getBytes("UTF-8")),
+          score = (id % 9 + 1).toFloat,
+          batchId = "b-1",
+          round = 1,
+          inlinks = Map(
+            s"http://in${id % 3}.example.com/" ->
+              (if (id % 4 == 0) "" else s"anchor-${id % 5}")),
+          markers = Map(graft.model.Marks.PARSE -> "b-1"))
+      }
+    graft.jobs.IndexerJob.buildDocs(pages.toDF(), batchId = Some("b-1"))
+      .select(col("doc_key"), col("url"), col("title"), col("text"),
+        concat_ws(",", col("anchors")).as("anchors_s"),
+        col("content_type"), col("fetch_time"), col("signature"),
+        round(col("boost"), 4).as("boost"), col("batch_id"), col("round"))
+      .orderBy(col("doc_key"))
+  }
+
   /** Multimodal pipeline (rows-only driver check — PNG decode is not
     * DuckDB-expressible): synthesize a deterministic image universe, run
     * decode/meta + feature-extract + resize, and emit per-format
@@ -548,6 +584,7 @@ object Queries {
     "q_embed_rhp_ann" -> (qEmbedRhpAnn _),
     "q_embed_ivf_ann" -> (qEmbedIvfAnn _),
     "q_urlfilter_automaton" -> (qUrlfilterAutomaton _),
+    "q_indexer_docs" -> (qIndexerDocs _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -964,6 +1001,19 @@ object Queries {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cand) AS rn
            FROM sims)
          WHERE rn <= 3 ORDER BY qid, rn""",
+    "q_indexer_docs" ->
+      """SELECT 'k' || doc_id AS doc_key,
+                'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id || '.html' AS url,
+                'doc-' || doc_id AS title,
+                'text of ' || doc_id AS text,
+                CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'anchor-' || (doc_id % 5) END AS anchors_s,
+                'image/png' AS content_type,
+                CAST(1700000000000 + doc_id AS BIGINT) AS fetch_time,
+                upper(md5('sig' || doc_id)) AS signature,
+                round(sqrt((doc_id % 9 + 1)::DOUBLE), 4) AS boost,
+                'b-1' AS batch_id,
+                CAST(1 AS INTEGER) AS round
+         FROM documents ORDER BY doc_key""",
     "q_urlfilter_automaton" ->
       """WITH urls AS (
            SELECT CASE CAST(doc_id % 5 AS INT)
