@@ -142,32 +142,51 @@ final class Crawl(
     * folding the delta snapshots committed since the bank's state id. */
   private def ensureSeenBank(): BloomSeen = {
     val bank = seenBank.getOrElse {
-      val statePath = new org.apache.hadoop.fs.Path(seenStatePath)
-      val loaded =
-        if (fsOf(seenStatePath).exists(statePath)) {
-          val in = fsOf(seenStatePath).open(statePath)
-          val state = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-            finally in.close()
-          val b = BloomSeen.load(seenBankPath, hadoopConf)
-          seenStateId = state
-          b
-        } else {
-          val keys = table.readAll(spark).select(table.keyCol).as[String]
-          val count = keys.count()
-          val expected =
-            if (conf.seenBloomCapacity > 0) conf.seenBloomCapacity
-            else math.max(1000L, count * 8)
-          val b = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected,
-            conf.seenBloomFpp)
-          seenFullBuilds += 1
-          seenStateId = table.head.getOrElse(0L)
-          b
-        }
+      val loaded = loadSeenBank().getOrElse(buildSeenBank())
       seenBank = Some(loaded)
       loaded
     }
     catchUpSeenBank(bank)
     bank
+  }
+
+  /** The checkpointed bank, or None when absent OR unreadable: a crashed
+    * checkpoint (missing file, truncated bytes, garbage STATE) must degrade
+    * to the one-time rebuild below — a probe structure is always
+    * recoverable from the store, so no corruption may wedge the crawl. */
+  private def loadSeenBank(): Option[BloomSeen] = {
+    val fs = fsOf(seenStatePath)
+    val statePath = new org.apache.hadoop.fs.Path(seenStatePath)
+    if (!fs.exists(statePath)) None
+    else try {
+      val in = fs.open(statePath)
+      val state = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      // versioned bank written by checkpointSeenBank; the unversioned path
+      // is the pre-versioning checkpoint layout, still loadable
+      val versioned = s"$seenBankPath.$state"
+      val path =
+        if (fs.exists(new org.apache.hadoop.fs.Path(versioned))) versioned
+        else seenBankPath
+      val b = BloomSeen.load(path, hadoopConf)
+      seenStateId = state
+      Some(b)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  private def buildSeenBank(): BloomSeen = {
+    val keys = table.readAll(spark).select(table.keyCol).as[String]
+    val count = keys.count()
+    val expected =
+      if (conf.seenBloomCapacity > 0) conf.seenBloomCapacity
+      else math.max(1000L, count * 8)
+    val b = BloomSeen.build(keys.rdd, conf.seenBloomPartitions, expected,
+      conf.seenBloomFpp)
+    seenFullBuilds += 1
+    seenStateId = table.head.getOrElse(0L)
+    b
   }
 
   /** Fold the keys of every inject/generate/update delta committed after
@@ -185,15 +204,28 @@ final class Crawl(
     }
   }
 
+  /** Versioned checkpoint: the bank is written to a FRESH `bank.<stateId>`
+    * file and only then referenced by the atomically-swapped STATE, so a
+    * crash at any point leaves the previously-referenced pair intact (the
+    * in-place overwrite this replaces could truncate the only copy of the
+    * bank mid-write). Superseded bank files are collected after the swap;
+    * a crash inside the brief STATE delete→rename window just degrades the
+    * next resume to the rebuild path via loadSeenBank's None. */
   private def checkpointSeenBank(bank: BloomSeen): Unit = {
-    BloomSeen.save(bank, seenBankPath, hadoopConf)
     val fs = fsOf(seenStatePath)
+    BloomSeen.save(bank, s"$seenBankPath.$seenStateId", hadoopConf)
     val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/_seen/.STATE.tmp")
     val out = fs.create(tmp, true)
     try out.write(seenStateId.toString.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(seenStatePath)
     fs.delete(dst, false)
     fs.rename(tmp, dst)
+    val keep = s"bank.$seenStateId"
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$tablePath/_seen")).foreach { st =>
+      val name = st.getPath.getName
+      if (name != keep && (name == "bank" || name.startsWith("bank.")))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Run the crawl for `depth` rounds, resuming from whatever the table has

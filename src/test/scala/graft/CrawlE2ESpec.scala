@@ -322,6 +322,23 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(resumed.seenFullBuilds == 0, "resume must load the checkpointed bank, not rebuild")
     assert(resumed.seenDeltaAddBatches >= 2)
     assert(state(dirA) == state(dirB), "resumed frontier must equal the uninterrupted run")
+
+    // crash-damaged checkpoint: garbage in every bank file must degrade the
+    // next resume to exactly ONE rebuild (the bank is always recoverable
+    // from the store) — never a wedged crawl — with identical final state
+    val dirC = SparkTestBase.tmpDir("seenbankC")
+    new Crawl(spark, dirC, images, conf, source).run(2, seeds, collectStats = false)
+    val seenDir = new org.apache.hadoop.fs.Path(s"$dirC/_seen")
+    val fs = seenDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(seenDir).filter(_.getPath.getName.startsWith("bank")).foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    }
+    val healed = new Crawl(spark, dirC, images, conf, source)
+    healed.run(4, seeds, collectStats = false)
+    assert(healed.seenFullBuilds == 1,
+      "a corrupt checkpoint must trigger exactly one rebuild, not a crash")
+    assert(state(dirA) == state(dirC), "healed frontier must equal the uninterrupted run")
   }
 
   test("payload invariant: decoded pixels exact (PSNR=inf) + caption equality (input_hint B23)") {
