@@ -344,6 +344,116 @@ object Queries {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  // --------------------------------------------------------- language surface
+
+  /** Deterministic messy language declarations synthesized from the lang
+    * column — one SQL fragment both dialects parse verbatim, so the Spark
+    * input and the DuckDB oracle input cannot drift. The six arms cover the
+    * reference golden families: RFC 1766 tags, scheme prefixes,
+    * charset-polluted headers, multi-valued lists, parenthesized names, and
+    * a no-language string (TestHTMLLanguageParser.java:76-104). */
+  private val MessyLangSql: String =
+    """CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN upper(lang) || '-XX'
+         WHEN 1 THEN '(SCHEME=RFC1766) ' || lang || '-' || upper(lang)
+         WHEN 2 THEN 'text/html; charset=' || lang
+         WHEN 3 THEN lang || ', en, sv'
+         WHEN 4 THEN 'Other (' || lang || ')'
+         ELSE 'torp, stuga & uthyres' END"""
+
+  /** B-lang: ISO-639 normalization of messy declarations (reference
+    * HTMLLanguageParser.parseLanguage) — columnar registry lookup, grouped
+    * into a (lang, normalized) matrix. */
+  private def qParseLanguage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("messy", expr(MessyLangSql))
+      .select(col("lang"),
+        coalesce(graft.lang.LangCodes.parseLanguageCol(col("messy")),
+          lit("none")).as("lang_norm"))
+      .groupBy(col("lang"), col("lang_norm"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("lang_norm"))
+
+  /** The DuckDB mirror of [[qParseLanguage]], generated from the SAME
+    * registry data ([[graft.lang.LangCodes.Primary]]) and the same messy
+    * fragment — the alias table ships as VALUES, the first-hit rule as
+    * min_by over the token ordinal. */
+  private def parseLanguageOracle: String = {
+    val aliases = graft.lang.LangCodes.Primary.toSeq.sorted
+      .map { case (a, c) => s"('$a','$c')" }.mkString(", ")
+    s"""WITH m(alias, code) AS (VALUES $aliases),
+        p AS (SELECT doc_id, lang, $MessyLangSql AS messy FROM documents),
+        sp AS (SELECT doc_id, lang,
+                 regexp_split_to_array(messy, '[, ;.()=]') AS ts FROM p),
+        tok AS (SELECT doc_id, i,
+                  lower(string_split(string_split(ts[i], '-')[1], '_')[1]) AS prim
+                FROM sp, unnest(range(1, len(ts)+1)) AS t(i)),
+        hit AS (SELECT tok.doc_id, min_by(m.code, tok.i) AS lang_norm
+                FROM tok JOIN m ON m.alias = tok.prim GROUP BY tok.doc_id),
+        res AS (SELECT p.lang, coalesce(h.lang_norm, 'none') AS lang_norm
+                FROM p LEFT JOIN hit h ON h.doc_id = p.doc_id)
+        SELECT lang, lang_norm, count(*) AS cnt FROM res
+        GROUP BY lang, lang_norm ORDER BY lang, lang_norm"""
+  }
+
+  /** (lang, sample) rows for the wide detector: every Latin profile's own
+    * function words plus every script language's sample phrase. */
+  private val WideLangTable: Seq[(String, String)] =
+    graft.ops.TextAnalysis.WideLangProfiles.map { case (l, ws) => l -> ws.mkString(" ") } ++
+      graft.ops.TextAnalysis.ScriptLangSamples
+
+  /** Shared payload fragment: each doc gets the sample of lang
+    * `doc_id % 26` repeated twice plus a 40-char slice of its own text as
+    * cross-language noise. */
+  private def wideCase(value: (String, String) => String): String = {
+    val arms = WideLangTable.zipWithIndex.map { case ((l, sample), i) =>
+      s"WHEN $i THEN ${value(l, sample)}"
+    }.mkString(" ")
+    s"CASE CAST(doc_id % ${WideLangTable.size} AS INT) $arms ELSE '' END"
+  }
+  private def widePayloadSql: String =
+    s"repeat(${wideCase((_, sample) => s"'$sample '")}, 2) || ' ' || substr(text, 1, 40)"
+  private def wideExpectedSql: String = wideCase((l, _) => s"'$l'")
+
+  /** B-lang wide: 26-language identification (17 function-word profiles +
+    * 9 unicode-script counters — the coverage class of the reference's
+    * Tika-profile identifier), output as a confusion matrix. */
+  private def qLangDetectWide(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("expected", expr(wideExpectedSql))
+      .withColumn("payload", expr(widePayloadSql))
+      .select(col("expected"),
+        graft.ops.TextAnalysis.detectLang(col("payload"),
+          graft.ops.TextAnalysis.WideLangProfiles, cjkLang = None,
+          scriptLangs = graft.ops.TextAnalysis.ScriptLangs).as("lang_pred"))
+      .groupBy(col("expected"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("expected"), col("lang_pred"))
+
+  /** DuckDB mirror of [[qLangDetectWide]], generated from the same profile
+    * tables: per-language scores (word hits / script-codepoint counts),
+    * greatest() argmax with the identical tie-break order. */
+  private def langDetectWideOracle: String = {
+    val wordScores = graft.ops.TextAnalysis.WideLangProfiles.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(",")
+      s"""len(list_filter(regexp_split_to_array(lower(payload), '\\s+'),
+            w -> w IN ($set))) AS s_$l"""
+    }
+    val scriptScores = graft.ops.TextAnalysis.ScriptLangs.map { case (l, range) =>
+      s"length(payload) - length(regexp_replace(payload, '[$range]', '', 'g')) AS s_$l"
+    }
+    val langs = graft.ops.TextAnalysis.WideLangProfiles.map(_._1) ++
+      graft.ops.TextAnalysis.ScriptLangs.map(_._1)
+    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT $wideExpectedSql AS expected,
+                     $widePayloadSql AS payload FROM documents),
+        sc AS (SELECT expected, ${(wordScores ++ scriptScores).mkString(", ")} FROM p),
+        mx AS (SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS m FROM sc),
+        pick AS (SELECT expected, CASE $pick END AS lang_pred FROM mx)
+        SELECT expected, lang_pred, count(*) AS cnt FROM pick
+        GROUP BY expected, lang_pred ORDER BY expected, lang_pred"""
+  }
+
   /** BPE-ish regex token counting (GPT-2 pre-tokenizer shape, lookahead-free
     * so Java regex and RE2 agree), summed per source. */
   private def qTokenCountBpe(s: SparkSession, dir: String): DataFrame =
@@ -576,6 +686,8 @@ object Queries {
     "q_linkdb_inlinks" -> (qLinkdbInlinks _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lang_detect" -> (qLangDetect _),
+    "q_lang_detect_wide" -> (qLangDetectWide _),
+    "q_parse_language" -> (qParseLanguage _),
     "q_token_count_bpe" -> (qTokenCountBpe _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -881,6 +993,8 @@ object Queries {
            FROM sc)
          SELECT lang, lang_pred, count(*) AS cnt FROM d
          GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q_lang_detect_wide" -> langDetectWideOracle,
+    "q_parse_language" -> parseLanguageOracle,
     "q_token_count_bpe" ->
       ("""SELECT source,
                 CAST(sum(len(regexp_extract_all(lower(text), '""" +

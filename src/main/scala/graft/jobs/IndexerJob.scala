@@ -58,6 +58,22 @@ final case class MoreIndexingFilter() extends IndexingFilter {
     .withColumn("last_modified", col("modifiedTime"))
 }
 
+/** language-identifier (LanguageIndexingFilter.filter:58-66): index the
+  * page's resolved language, "unknown" when nothing resolves. Resolution
+  * runs the reference's `lang.extraction.policy` fold (detect declared
+  * metadata/header values, normalized to primary ISO-639 codes; fall back
+  * to statistical identification over title+text — see
+  * [[graft.lang.PageLanguage]]). */
+final case class LanguageIndexingFilter(
+    policy: Seq[String] = Seq("detect", "identify"),
+    minScore: Int = 0) extends IndexingFilter {
+  val name = "language"
+  def apply(docs: DataFrame): DataFrame = docs
+    .withColumn("lang",
+      coalesce(graft.lang.PageLanguage.resolve(col("metadata"), col("headers"),
+        col("title"), col("text"), policy, minScore), lit("unknown")))
+}
+
 /** The index stage: parsed pages -> a flat documents output table
   * (reference: indexer/IndexingJob.java + the solr/elastic sinks,
   * SURVEY.md A9). The reference ships rows to Solr; here the sink is a

@@ -302,24 +302,95 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una", "y", "que"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
 
+  /** The wide profile set (the coverage class of the reference's
+    * language-identifier plugin: Tika ships ~27 n-gram profiles —
+    * plugin/language-identifier/HTMLLanguageParser.java:165). Latin-script
+    * languages score by distinctive-function-word hits; every pairwise
+    * word overlap is ≤3 of 7, so a text dominated by one profile's words
+    * always self-detects. Order fixes the tie-break priority. */
+  val WideLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "it" -> Seq("il", "di", "che", "per", "con", "sono", "della"),
+    "pt" -> Seq("o", "do", "da", "em", "para", "com", "uma"),
+    "nl" -> Seq("het", "een", "van", "niet", "dat", "op", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "är", "på", "av"),
+    "da" -> Seq("og", "at", "der", "til", "ikke", "jeg", "han"),
+    "no" -> Seq("og", "det", "ikke", "en", "som", "til", "av"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "oli", "hän"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "jest", "z"),
+    "cs" -> Seq("a", "se", "na", "je", "že", "to", "co"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "de", "ne", "çok"),
+    "ro" -> Seq("și", "de", "la", "cu", "o", "este", "pentru"),
+    "hu" -> Seq("a", "az", "és", "nem", "hogy", "egy", "meg"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "ini"))
+
+  /** Script-identified languages: (lang, unicode-block char range). The
+    * score is the count of codepoints in the block — no tokenization, so
+    * unsegmented scripts (th, ja, zh) work. Kana before the CJK block so
+    * Japanese text (kana + kanji) resolves ja over zh when kana dominate. */
+  val ScriptLangs: Seq[(String, String)] = Seq(
+    "ru" -> "\\x{0400}-\\x{04FF}",
+    "el" -> "\\x{0370}-\\x{03FF}",
+    "ar" -> "\\x{0600}-\\x{06FF}",
+    "he" -> "\\x{0590}-\\x{05FF}",
+    "hi" -> "\\x{0900}-\\x{097F}",
+    "th" -> "\\x{0E00}-\\x{0E7F}",
+    "ko" -> "\\x{AC00}-\\x{D7AF}",
+    "ja" -> "\\x{3040}-\\x{30FF}",
+    "zh" -> "\\x{4E00}-\\x{9FFF}")
+
+  /** Canonical per-script sample phrases (top function words / particles)
+    * for tests and the driver oracle's synthetic payloads. */
+  val ScriptLangSamples: Seq[(String, String)] = Seq(
+    "ru" -> "и в не на он что как это",
+    "el" -> "και το να δεν είναι με του",
+    "ar" -> "في من على أن إلى عن هذا",
+    "he" -> "של את על לא זה עם הוא",
+    "hi" -> "के है में की का से नहीं",
+    "th" -> "ที่ และ การ ใน เป็น ของ ได้",
+    "ko" -> "이 그 있다 하는 것 수 들",
+    "ja" -> "の に は を た が で",
+    "zh" -> "的 是 了 在 不 有 这")
+
+  private def scriptScore(textCol: Column, range: String): Column =
+    length(textCol) - length(regexp_replace(textCol, s"[$range]", ""))
+
+  private def langScores(textCol: Column,
+      profiles: Seq[(String, Seq[String])], cjkLang: Option[String],
+      scriptLangs: Seq[(String, String)]): Seq[(String, Column)] = {
+    val ws = tokens(textCol)
+    profiles.map { case (lang, words) =>
+      lang -> size(filter(ws, w => words.map(s => w === s).reduce(_ || _)))
+    } ++ cjkLang.map(l => l -> scriptScore(textCol, "\\x{4e00}-\\x{9fff}")) ++
+      scriptLangs.map { case (l, range) => l -> scriptScore(textCol, range) }
+  }
+
   /** Language-ID heuristic: score the text against each profile (function-
-    * word hits for alphabetic languages; CJK-codepoint count for `cjkLang`),
-    * argmax with the profile order as the deterministic tie-break. Pure
-    * higher-order-function + regexp expressions — engine-portable and
-    * whole-stage-codegen'd; no dictionary shipping, no UDF. */
+    * word hits for alphabetic languages; unicode-block codepoint counts for
+    * `cjkLang`/`scriptLangs`), argmax with the profile order as the
+    * deterministic tie-break. Pure higher-order-function + regexp
+    * expressions — engine-portable and whole-stage-codegen'd; no
+    * dictionary shipping, no UDF. */
   def detectLang(textCol: Column,
       profiles: Seq[(String, Seq[String])] = LangProfiles,
-      cjkLang: Option[String] = Some("zh")): Column = {
-    val ws = tokens(textCol)
-    val scores: Seq[(String, Column)] = profiles.map { case (lang, words) =>
-      lang -> size(filter(ws, w => words.map(s => w === s).reduce(_ || _)))
-    } ++ cjkLang.map { l =>
-      l -> (length(textCol) -
-        length(regexp_replace(textCol, "[\\x{4e00}-\\x{9fff}]", "")))
-    }
+      cjkLang: Option[String] = Some("zh"),
+      scriptLangs: Seq[(String, String)] = Seq.empty): Column = {
+    val scores = langScores(textCol, profiles, cjkLang, scriptLangs)
     val m = greatest(scores.map(_._2): _*)
     coalesce(scores.map { case (lang, sc) => when(sc === m, lit(lang)) }: _*)
   }
+
+  /** The winning profile's score — the `lang.identification.only.certain`
+    * analogue: callers gate on a minimum score to null out low-evidence
+    * identifications (reference identifyLanguage:158-162). */
+  def detectLangScore(textCol: Column,
+      profiles: Seq[(String, Seq[String])] = LangProfiles,
+      scriptLangs: Seq[(String, String)] = Seq.empty,
+      cjkLang: Option[String] = None): Column =
+    greatest(langScores(textCol, profiles, cjkLang, scriptLangs).map(_._2): _*)
 
   /** Per-language quality aggregates (cnt, avg tokens/chars, stop ratio). */
   def qualityByLang(docs: DataFrame, textCol: String, langCol: String,
