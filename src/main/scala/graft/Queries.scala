@@ -454,6 +454,64 @@ object Queries {
         GROUP BY expected, lang_pred ORDER BY expected, lang_pred"""
   }
 
+  // ------------------------------------------------------------- tld surface
+
+  /** Deterministic host synthesis for the suffix walk: one SQL fragment
+    * both dialects parse. The eight arms cover deep subdomains over 1- and
+    * 2-label suffixes, an unknown tld, a dotless suffix-only host, and an
+    * IP literal. */
+  private val TldHostSql: String =
+    """CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN 'www.example.com'
+         WHEN 1 THEN 'a.b.news.co.uk'
+         WHEN 2 THEN 'shop.city.kawasaki.jp'
+         WHEN 3 THEN 'ftp.agency.gov.cn'
+         WHEN 4 THEN 'weird.unknowntld'
+         WHEN 5 THEN 'com'
+         WHEN 6 THEN '192.168.0.1'
+         ELSE 'deep.sub.domain.com.br' END"""
+
+  /** B-tld: public-suffix extraction (the tld plugin's doc field) over
+    * synthesized urls via the native graft_tld expression; nulls (IP hosts,
+    * unknown suffixes) fold to 'none'. */
+  private def qUrlTld(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", expr(s"'http://' || $TldHostSql || '/p'"))
+      .select(coalesce(graft.functions.GraftFunctions.tldOf(s, col("url")),
+        lit("none")).as("tld"))
+      .groupBy(col("tld")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("tld"))
+
+  /** DuckDB mirror of [[qUrlTld]]: the reference walk (URLUtil.java:148-166
+    * — candidates are the host's label tails, starting after the first
+    * label unless the host is dotless; longest hit wins) over the SAME
+    * suffix set. Only tails reachable from [[TldHostSql]] ship as VALUES —
+    * the intersection is computed against the full embedded list, so the
+    * subset is exact by construction. IP hosts are excluded like
+    * UrlUtil.IpPattern does (no numeric tail is a suffix, so the guard is
+    * parity documentation, not a behavior fork). */
+  private def urlTldOracle: String = {
+    val hosts = Seq("www.example.com", "a.b.news.co.uk", "shop.city.kawasaki.jp",
+      "ftp.agency.gov.cn", "weird.unknowntld", "com", "192.168.0.1",
+      "deep.sub.domain.com.br")
+    val reachable = hosts
+      .flatMap(_.split('.').tails.map(_.mkString(".")).filter(_.nonEmpty))
+      .filter(graft.url.UrlUtil.isDomainSuffix).distinct.sorted
+    val values = reachable.map(s => s"('$s')").mkString(", ")
+    s"""WITH sfx(s) AS (VALUES $values),
+        p AS (SELECT doc_id, $TldHostSql AS host FROM documents),
+        l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM p
+              WHERE NOT regexp_matches(host, '^(\\d{1,3}\\.){3}\\d{1,3}$$')),
+        cand AS (SELECT l.doc_id, t.i, array_to_string(ls[t.i:], '.') AS tail
+                 FROM l, unnest(range(CASE WHEN len(ls) = 1 THEN 1 ELSE 2 END,
+                                      len(ls) + 1)) AS t(i)),
+        hit AS (SELECT cand.doc_id, min_by(cand.tail, cand.i) AS tld
+                FROM cand JOIN sfx ON sfx.s = cand.tail GROUP BY cand.doc_id),
+        res AS (SELECT p.doc_id, coalesce(h.tld, 'none') AS tld
+                FROM p LEFT JOIN hit h ON h.doc_id = p.doc_id)
+        SELECT tld, count(*) AS cnt FROM res GROUP BY tld ORDER BY tld"""
+  }
+
   /** BPE-ish regex token counting (GPT-2 pre-tokenizer shape, lookahead-free
     * so Java regex and RE2 agree), summed per source. */
   private def qTokenCountBpe(s: SparkSession, dir: String): DataFrame =
@@ -688,6 +746,7 @@ object Queries {
     "q_lang_detect" -> (qLangDetect _),
     "q_lang_detect_wide" -> (qLangDetectWide _),
     "q_parse_language" -> (qParseLanguage _),
+    "q_url_tld" -> (qUrlTld _),
     "q_token_count_bpe" -> (qTokenCountBpe _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -995,6 +1054,7 @@ object Queries {
          GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q_lang_detect_wide" -> langDetectWideOracle,
     "q_parse_language" -> parseLanguageOracle,
+    "q_url_tld" -> urlTldOracle,
     "q_token_count_bpe" ->
       ("""SELECT source,
                 CAST(sum(len(regexp_extract_all(lower(text), '""" +

@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_reverse_url", "com.example:http/path key order")(e =>
       ReverseUrl(e.head))
     inject(ext, "graft_reverse_host", "host -> reversed-domain")(e => ReverseHost(e.head))
+    inject(ext, "graft_tld", "public suffix of the url's host")(e => TldOf(e.head))
+    inject(ext, "graft_domain", "host without subdomains")(e => DomainOf(e.head))
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -85,6 +86,46 @@ object Exprs {
     override def prettyName: String = "graft_reverse_host"
   }
 
+  /** tld(url): the host's public suffix by the reference's suffix walk
+    * (URLUtil.getDomainSuffix — the `tld` doc field of the tld plugin);
+    * null for IPs, unknown suffixes and malformed urls. */
+  case class TldOf(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any = {
+      val r = UrlUtil.getDomainSuffix(v.toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.freshName("tld")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""String $r = graft.url.UrlUtil.getDomainSuffix($c.toString());
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = UTF8String.fromString($r); }""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TldOf =
+      copy(child = newChild)
+    override def prettyName: String = "graft_tld"
+  }
+
+  /** domain(url): hostname without subdomains, public-suffix aware
+    * (URLUtil.getDomainName). */
+  case class DomainOf(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      try UTF8String.fromString(UrlUtil.getDomainName(v.toString))
+      catch { case _: Exception => null }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""try { ${ev.value} = UTF8String.fromString(
+           |  graft.url.UrlUtil.getDomainName($c.toString())); }
+           |catch (Exception e) { ${ev.isNull} = true; }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): DomainOf =
+      copy(child = newChild)
+    override def prettyName: String = "graft_domain"
+  }
+
   /** host_partition(url, n, seed): the salted host partitioner as a column. */
   case class HostPartition(child: Expression, numPartitions: Int, seed: Int)
       extends UnaryExpression {
@@ -115,5 +156,18 @@ object GraftFunctions {
       exprs => ReverseUrl(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_reverse_host",
       exprs => ReverseHost(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_tld",
+      exprs => TldOf(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_domain",
+      exprs => DomainOf(exprs.head), "scala_udf")
+  }
+
+  /** Column faces of the URL expressions (registered per-session so the
+    * analyzer can resolve them; idempotent). */
+  def tldOf(spark: SparkSession, url: Column): Column = {
+    register(spark); call_function("graft_tld", url)
+  }
+  def domainOf(spark: SparkSession, url: Column): Column = {
+    register(spark); call_function("graft_domain", url)
   }
 }

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{CrawlStatus, Marks}
@@ -72,6 +72,56 @@ final case class LanguageIndexingFilter(
     .withColumn("lang",
       coalesce(graft.lang.PageLanguage.resolve(col("metadata"), col("headers"),
         col("title"), col("text"), policy, minScore), lit("unknown")))
+}
+
+/** index-metadata (MetadataIndexer.filter:45-66): for each configured key,
+  * the parse metadata value `meta_<key>` (values tab-separated, as the
+  * parse-metatags producer writes them) becomes the multi-valued doc
+  * column `meta_<key>`; absent metadata -> null column. */
+final case class MetadataIndexingFilter(keys: Seq[String]) extends IndexingFilter {
+  val name = "metadata"
+  def apply(docs: DataFrame): DataFrame =
+    keys.foldLeft(docs)((df, k) =>
+      df.withColumn(s"meta_$k",
+        split(try_element_at(col("metadata"), lit(s"meta_$k")), "\t")))
+}
+
+/** One subcollection: url substring white/blacklist
+  * (collection/Subcollection.filter:~150: any blacklist hit rejects, then
+  * any whitelist hit accepts, else reject). */
+final case class Subcollection(id: String, label: String,
+    whitelist: Seq[String], blacklist: Seq[String] = Seq.empty) {
+  /** The membership predicate over a url column. */
+  def matches(url: Column): Column = {
+    val black = blacklist.foldLeft(lit(false))((b, s) => b || url.contains(s))
+    val white = whitelist.foldLeft(lit(false))((w, s) => w || url.contains(s))
+    !black && white
+  }
+}
+
+/** subcollection (SubcollectionIndexingFilter.filter:60-66): the names of
+  * every collection whose white/blacklist accepts the url, as the
+  * multi-valued `subcollection` column. */
+final case class SubcollectionIndexingFilter(collections: Seq[Subcollection])
+    extends IndexingFilter {
+  val name = "subcollection"
+  def apply(docs: DataFrame): DataFrame = {
+    val hits = collections.map(c => when(c.matches(col("url")), lit(c.label)))
+    docs.withColumn("subcollection",
+      if (hits.isEmpty) array().cast("array<string>")
+      else array_compact(array(hits: _*)))
+  }
+}
+
+/** tld (TLDIndexingFilter.filter:43-52): the url's public suffix as the
+  * `tld` doc column — the reference's URLUtil.getDomainSuffix walk over
+  * the full embedded suffix list, run as the native codegen expression
+  * graft_tld; null where the reference would skip the field (IP hosts,
+  * unknown suffixes, malformed urls). */
+final case class TldIndexingFilter() extends IndexingFilter {
+  val name = "tld"
+  def apply(docs: DataFrame): DataFrame = docs.withColumn("tld",
+    graft.functions.GraftFunctions.tldOf(docs.sparkSession, col("url")))
 }
 
 /** The index stage: parsed pages -> a flat documents output table

@@ -113,8 +113,10 @@ case class TldScoring(conf: CrawlConfig,
     (scoreData, page)
   override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = page
   override def indexerScore(page: WebPage, initScore: Float): Float = {
-    val host = UrlUtil.getHost(page.url)
-    val tld = host.substring(host.lastIndexOf('.') + 1)
-    initScore * boosts.getOrElse(tld, 1.0f)
+    // suffix walk, not the last label — "co.uk" boosts as "co.uk" (the
+    // reference reads the tld doc field TLDIndexingFilter built from
+    // URLUtil.getDomainSuffix); unknown suffix -> boost 1.0
+    val tld = UrlUtil.getDomainSuffix(page.url)
+    if (tld == null) initScore else initScore * boosts.getOrElse(tld, 1.0f)
   }
 }

@@ -69,6 +69,10 @@ object UrlUtil {
 
   def isDomainSuffix(s: String): Boolean = domainSuffixes.contains(s)
 
+  /** The full embedded suffix set (read-only; the driver oracle intersects
+    * it with a query's reachable tails to mirror the walk in SQL). */
+  def domainSuffixSet: Set[String] = domainSuffixes
+
   def tryParse(url: String): Option[PUrl] = PUrl.parse(url)
 
   def getHost(url: String): String =
@@ -94,6 +98,27 @@ object UrlUtil {
 
   def getDomainName(url: String): String =
     PUrl.parse(url).map(getDomainName).getOrElse(url)
+
+  /** The host's public suffix ("com", "co.uk", ...) by the reference's
+    * suffix walk (util/URLUtil.java:148-166): check the whole host only
+    * when it has no dots, otherwise start after the first label; null for
+    * IP hosts and hosts with no known suffix. */
+  def getDomainSuffix(url: PUrl): String = {
+    val host = url.host
+    if (host == null || IpPattern.matcher(host).matches()) return null
+    var candidate = host
+    var index = 0
+    while (index >= 0) {
+      index = candidate.indexOf('.')
+      val sub = candidate.substring(index + 1)
+      if (isDomainSuffix(sub)) return sub
+      candidate = sub
+    }
+    null
+  }
+
+  def getDomainSuffix(url: String): String =
+    PUrl.parse(url).map(getDomainSuffix).orNull
 
   /** Host-reversed storage key, e.g.
     * "http://bar.foo.com:8983/to/index.html?a=b" -> "com.foo.bar:http:8983/to/index.html?a=b"

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.jobs.{IndexerJob, MetadataIndexingFilter, Subcollection,
+  SubcollectionIndexingFilter, TldIndexingFilter}
+import graft.model.{CrawlStatus, Marks, WebPage}
+import graft.crawl.CrawlConfig
+import graft.score.TldScoring
+import graft.url.UrlUtil
+
+/** The indexing-filter chain members ported this round: index-metadata,
+  * subcollection and tld (reference plugin/index-metadata MetadataIndexer,
+  * plugin/subcollection SubcollectionIndexingFilter + TestSubcollection
+  * goldens, plugin/tld TLDIndexingFilter), plus the URLUtil.getDomainSuffix
+  * walk they ride on. */
+class IndexFiltersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def page(key: String, url: String,
+      metadata: Map[String, String] = Map.empty): WebPage =
+    WebPage(key = key, url = url, status = CrawlStatus.FETCHED,
+      title = "t", text = "x", markers = Map(Marks.PARSE -> "b1"), batchId = "b1")
+      .copy(metadata = metadata)
+
+  test("getDomainSuffix walks to the longest known suffix (URLUtil.java:148-166)") {
+    assert(UrlUtil.getDomainSuffix("http://www.example.com/a") == "com")
+    assert(UrlUtil.getDomainSuffix("http://a.b.news.co.uk/") == "co.uk")
+    // the embedded list carries the third-level registry entry itself,
+    // and the walk returns the longest (earliest) hit
+    assert(UrlUtil.getDomainSuffix("http://shop.city.kawasaki.jp/") == "city.kawasaki.jp")
+    assert(UrlUtil.getDomainSuffix("http://deep.sub.domain.com.br/x") == "com.br")
+    // dotless host: the whole host is the only candidate
+    assert(UrlUtil.getDomainSuffix("http://com/") == "com")
+    // IP hosts and unknown suffixes yield null (the reference skips the field)
+    assert(UrlUtil.getDomainSuffix("http://192.168.0.1/") == null)
+    assert(UrlUtil.getDomainSuffix("http://weird.unknowntld/") == null)
+  }
+
+  test("TldIndexingFilter indexes the public suffix; nulls where the walk fails") {
+    val pages = Seq(
+      page("k1", "http://a.b.news.co.uk/i"),
+      page("k2", "http://weird.unknowntld/i"),
+      page("k3", "http://192.168.0.1/i")).toDF()
+    val docs = IndexerJob.buildDocs(pages, extraFilters = Seq(TldIndexingFilter()))
+      .select("doc_key", "tld").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(docs("k1").contains("co.uk"))
+    assert(docs("k2").isEmpty)
+    assert(docs("k3").isEmpty)
+  }
+
+  test("MetadataIndexingFilter splits tab-separated meta_<key> values (MetadataIndexer)") {
+    val pages = Seq(
+      page("k1", "http://a/1", Map("meta_keywords" -> "spark\tcrawl\tgraft",
+        "meta_author" -> "ada")),
+      page("k2", "http://a/2", Map("meta_author" -> "grace")),
+      page("k3", "http://a/3")).toDF()
+    val docs = IndexerJob.buildDocs(pages,
+        extraFilters = Seq(MetadataIndexingFilter(Seq("keywords", "author"))))
+      .select("doc_key", "meta_keywords", "meta_author").collect()
+      .map(r => r.getString(0) -> (Option(r.getSeq[String](1)), Option(r.getSeq[String](2))))
+      .toMap
+    assert(docs("k1") == (Some(Seq("spark", "crawl", "graft")), Some(Seq("ada"))))
+    assert(docs("k2") == (None, Some(Seq("grace"))))
+    assert(docs("k3") == (None, None))
+  }
+
+  test("SubcollectionIndexingFilter matches the reference goldens (TestSubcollection)") {
+    val coll = Subcollection("nutch", "nutch collection",
+      whitelist = Seq("www.nutch.org", "www.apache.org"),
+      blacklist = Seq("jpg", "www.apache.org/zecret/"))
+    val other = Subcollection("img", "images", whitelist = Seq("img"))
+    val pages = Seq(
+      page("k1", "http://www.apache.org/index.html"),    // whitelist hit
+      page("k2", "http://www.apache.org/zecret/index.html"), // blacklist rejects
+      page("k3", "http://www.apache.org/img/image.jpg"),  // jpg rejects nutch, img accepts
+      page("k4", "http://www.google.com/")).toDF()        // no match
+    val docs = IndexerJob.buildDocs(pages,
+        extraFilters = Seq(SubcollectionIndexingFilter(Seq(coll, other))))
+      .select("doc_key", "subcollection").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(docs("k1") == Seq("nutch collection"))
+    assert(docs("k2").isEmpty)
+    assert(docs("k3") == Seq("images"))
+    assert(docs("k4").isEmpty)
+  }
+
+  test("TldScoring boosts by the walked suffix, not the last label (TLDScoringFilter)") {
+    val tld = TldScoring(CrawlConfig(), boosts = Map("co.uk" -> 2.0f, "uk" -> 5.0f))
+    val p = WebPage(url = "http://news.example.co.uk/")
+    // the walk hits co.uk before uk, so the co.uk boost applies
+    assert(tld.indexerScore(p, 1.5f) == 3.0f)
+    // unknown suffix: boost 1.0
+    assert(tld.indexerScore(WebPage(url = "http://weird.unknowntld/"), 1.5f) == 1.5f)
+  }
+}
