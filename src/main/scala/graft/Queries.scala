@@ -250,6 +250,50 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("lang"))
 
+  /** Image near-dup pairs by pHash hamming distance: pigeonhole banding
+    * candidates + exact bit_count(xor) confirm (Dedup.phashNearDupPairs).
+    * The corpus is synthesized deterministically from documents — a 60-bit
+    * md5-derived pHash per doc, plus a planted near-dup twin (<=2 bit
+    * flips at doc_id-derived positions) for every 5th doc. The oracle is
+    * the brute-force all-pairs ground truth: the pigeonhole scheme is
+    * EXACT for dist <= maxDist when nBands > maxDist, so the banding
+    * output must equal it pair-for-pair (recall 1.0 by construction, not
+    * a similarity gamble). */
+  private def qImagePhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ph = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = docs.select(concat(lit("d"), col("doc_id")).as("id"), ph.as("ph"))
+    val flip = expr(
+      """shiftleft(cast(1 as bigint), cast(doc_id % 60 as int)) |
+         shiftleft(cast(1 as bigint), cast((doc_id * 7 + 13) % 60 as int))""")
+    val twins = docs.where(col("doc_id") % 5 === 0)
+      .select(concat(lit("t"), col("doc_id")).as("id"),
+        ph.bitwiseXOR(flip).as("ph"))
+    graft.ops.Dedup.phashNearDupPairs(base.union(twins), "id", "ph",
+        maxDist = 3, nBands = 4, bandBits = 15, bits = 60)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private def imagePhashNeardupOracle: String =
+    """WITH base AS (
+         SELECT 'd' || CAST(doc_id AS VARCHAR) AS id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS ph
+         FROM documents
+       ), twins AS (
+         SELECT 't' || CAST(doc_id AS VARCHAR) AS id,
+                xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                    (1::BIGINT << CAST(doc_id % 60 AS INT)) |
+                    (1::BIGINT << CAST((doc_id * 7 + 13) % 60 AS INT))) AS ph
+         FROM documents WHERE doc_id % 5 = 0
+       ), p AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+       SELECT a.id AS da, b.id AS db,
+              CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE bit_count(xor(a.ph, b.ph)) <= 3
+       ORDER BY da, db"""
+
   /** SimHash (16-bit) document fingerprints from token hashes. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.simhash(
@@ -739,6 +783,7 @@ object Queries {
     "q_dedup_apply" -> (qDedupApply _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_image_phash_neardup" -> (qImagePhashNeardup _),
     "q_fingerprint" -> (qFingerprint _),
     "q_outlink_extract" -> (qOutlinkExtract _),
     "q_linkdb_inlinks" -> (qLinkdbInlinks _),
@@ -948,6 +993,7 @@ object Queries {
                     WHEN lang = 'de' THEN 250000
                     ELSE 100000 END
          GROUP BY lang ORDER BY lang""",
+    "q_image_phash_neardup" -> imagePhashNeardupOracle,
     "q_dedup_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w

@@ -155,6 +155,61 @@ object Dedup {
       .select(col("da"), col("db")).distinct()
   }
 
+  /** Perceptual-hash near-duplicate image pairs within a hamming radius —
+    * the image-axis member of the dedup family (text has shingle-Jaccard /
+    * MinHash; images compare 64-bit pHashes by bit distance).
+    *
+    * Multi-index pigeonhole (the standard exact scheme for hamming-radius
+    * search over hash corpora): split each hash into `nBands` disjoint
+    * `bandBits`-bit substrings; a pair differing in at most `maxDist` bits
+    * can touch at most `maxDist` bands, so with `nBands > maxDist` the two
+    * hashes agree EXACTLY on at least one band — candidate generation by
+    * equi-bucketing on (band, band-value) has recall 1.0 by construction,
+    * never a similarity gamble. Candidates are confirmed with one codegen'd
+    * `bit_count(xor)` — cheap, exact.
+    *
+    * Scale shape (same discipline as the text ops): hashes ride the plan as
+    * single longs (images/bytes never enter), buckets become posting lists
+    * whose pairs explode narrowly within each list (no self-join), and
+    * `maxBucket` caps degenerate buckets (e.g. millions of flat-color
+    * thumbnails sharing a band value) exactly like `maxDf`/`maxBucket` in
+    * the text ops. One shuffle to bucket, one distinct on the pair output.
+    *
+    * Band values are extracted as `(hash >>> k) & mask` — masking after the
+    * shift keeps the value identical under arithmetic and logical shifts,
+    * so any engine computes the same buckets. Requires
+    * `nBands * bandBits >= bits` (full coverage of the meaningful bits) and
+    * `nBands > maxDist` (the pigeonhole guarantee).
+    */
+  def phashNearDupPairs(images: DataFrame, idCol: String, phashCol: String,
+      maxDist: Int = 3, nBands: Int = 4, bandBits: Int = 16,
+      maxBucket: Long = 1000L, bits: Int = 64): DataFrame = {
+    require(nBands > maxDist,
+      s"pigeonhole needs nBands ($nBands) > maxDist ($maxDist)")
+    require(nBands * bandBits >= bits,
+      s"bands must cover all $bits hash bits: $nBands x $bandBits")
+    val mask = (1L << bandBits) - 1
+    val bandVals = (0 until nBands).map(b =>
+      shiftrightunsigned(col(phashCol), b * bandBits).bitwiseAND(lit(mask)))
+    val lists = images
+      .select(col(idCol), col(phashCol),
+        posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+      .groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(phashCol).as("ph"))).as("xs"))
+      .where(size(col("xs")) <= maxBucket)
+      .select(col("xs"))
+    // pair stream within each bucket (a<b), one exact confirm per pair;
+    // distinct collapses the same pair surfacing from several bands.
+    // No orderBy tail (see ngramJaccardPairs note).
+    lists.select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** SimHash fingerprints (bits-wide) from token hashes: near-duplicates
     * land on nearby fingerprints (compare by hamming distance downstream). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,

@@ -67,10 +67,40 @@ class OpsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(globalSorts(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.1)) == 0)
     assert(globalSorts(graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text")) == 0)
+    assert(globalSorts(graft.ops.Dedup.phashNearDupPairs(
+      Seq((1L, 7L), (2L, 7L)).toDF("id", "ph"), "id", "ph")) == 0)
     assert(globalSorts(graft.ops.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.9)) == 0)
     // the query wrapper re-adds the oracle's deterministic order
     assert(globalSorts(Queries.all("q_dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")) == 1)
+  }
+
+  test("phash near-dup: pigeonhole banding equals brute-force ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map(i => (s"d$i", rnd.nextLong() & ((1L << 60) - 1)))
+    // a twin within the radius for every 4th image: 1-3 deterministic flips
+    val twins = base.zipWithIndex.collect { case ((id, ph), i) if i % 4 == 0 =>
+      val mask = (0 until 1 + i % 3).map(j => 1L << ((i * 7 + j * 11) % 60))
+        .reduce(_ | _)
+      (s"t${id.drop(1)}", ph ^ mask)
+    }
+    val all = base ++ twins
+    val got = graft.ops.Dedup.phashNearDupPairs(all.toDF("id", "ph"), "id", "ph",
+        maxDist = 3, nBands = 4, bandBits = 15, bits = 60)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, pa) <- all; (b, pb) <- all
+      if a < b && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(pa ^ pb))).toSet
+    // pigeonhole with nBands > maxDist is EXACT: recall 1.0, not approximate
+    assert(got == want)
+    assert(got.size >= 50) // every planted twin found
+    // degenerate buckets (all-identical hashes) drop at the cap, like maxDf
+    val flat = (0 until 50).map(i => (s"f$i", 0L)).toDF("id", "ph")
+    assert(graft.ops.Dedup.phashNearDupPairs(flat, "id", "ph",
+      maxDist = 3, nBands = 4, bandBits = 15, bits = 60, maxBucket = 10)
+      .count() == 0)
   }
 
   test("dedup clusters: connected components over candidate pairs") {
