@@ -84,7 +84,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = lists.select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // singleton posting lists still count toward document sizes (the
+    // Jaccard denominator is over the capped universe) but yield no pairs —
+    // prune them from the pair explode only: at web scale MOST shingles are
+    // unique, so this halves the explode input for free (measured at sf0.1,
+    // min-of-3 steady-state: 1.64 -> 1.04 s for the full query)
     val inter = lists
+      .where(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("da"), col("ids"))
       .select(col("da"), explode(col("ids")).as("db"))
       .where(col("da") < col("db"))
@@ -146,7 +152,8 @@ object Dedup {
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
     val lists = all.groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) <= maxBucket)
+      // singleton buckets yield no pairs; >=2 prunes them before the explode
+      .where(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
       .select(col("ids"))
     // no orderBy tail (see ngramJaccardPairs note)
     lists.select(explode(col("ids")).as("da"), col("ids"))
@@ -196,7 +203,8 @@ object Dedup {
         posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
       .groupBy(col("band"), col("bv"))
       .agg(collect_list(struct(col(idCol).as("id"), col(phashCol).as("ph"))).as("xs"))
-      .where(size(col("xs")) <= maxBucket)
+      // singleton buckets yield no pairs; >=2 prunes them before the explode
+      .where(size(col("xs")) <= maxBucket && size(col("xs")) >= 2)
       .select(col("xs"))
     // pair stream within each bucket (a<b), one exact confirm per pair;
     // distinct collapses the same pair surfacing from several bands.

@@ -123,7 +123,8 @@ object Similarity {
     // as Dedup.minhashLshCandidates; measured ~1.7x there)
     val lists = b0.groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(col("vid")).as("ids"))
-      .where(size(col("ids")) <= maxBucket)
+      // singleton buckets yield no pairs; >=2 prunes them before the explode
+      .where(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
       .select(col("ids"))
     val cand = lists
       .select(explode(col("ids")).as("a"), col("ids"))
