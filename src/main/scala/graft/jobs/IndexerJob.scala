@@ -124,6 +124,15 @@ final case class TldIndexingFilter() extends IndexingFilter {
     graft.functions.GraftFunctions.tldOf(docs.sparkSession, col("url")))
 }
 
+/** phash: the payload's perceptual hash (computed at parse from the DECODED
+  * pixels, persisted in the metadata escape hatch) as a long doc column —
+  * the key for image near-dup dedup over the index output. */
+final case class PhashIndexingFilter() extends IndexingFilter {
+  val name = "phash"
+  def apply(docs: DataFrame): DataFrame = docs.withColumn("phash",
+    try_element_at(col("metadata"), lit(ParserJob.PhashMeta)).cast("long"))
+}
+
 /** The index stage: parsed pages -> a flat documents output table
   * (reference: indexer/IndexingJob.java + the solr/elastic sinks,
   * SURVEY.md A9). The reference ships rows to Solr; here the sink is a
@@ -156,6 +165,22 @@ object IndexerJob {
     val extras = withCols.columns
       .filterNot(c => CanonicalCols.contains(c) || pages.columns.contains(c))
     withCols.select((CanonicalCols ++ extras).map(col): _*)
+  }
+
+  /** Drop near-duplicate-image documents from an index output: pairs by
+    * pHash hamming distance (Dedup.phashNearDupPairs — pigeonhole banding,
+    * exact within `maxDist`), clusters by connected components, keep ONE
+    * canonical doc (min doc_key) per cluster. Docs without a phash column
+    * value (non-image payloads, failed decodes) pass through untouched.
+    * The docs frame must carry a `phash` column — chain
+    * [[PhashIndexingFilter]] (or provide your own) before calling. */
+  def dropNearDupImages(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    val keyed = docs.where(col("phash").isNotNull)
+      .select(col("doc_key"), col("phash"))
+    val pairs = graft.ops.Dedup.phashNearDupPairs(keyed, "doc_key", "phash",
+      maxDist = maxDist, maxBucket = maxBucket)
+    graft.ops.Dedup.dropNearDuplicates(docs, pairs, "doc_key")
   }
 
   /** Write the index delta for a batch (the IndexingJob map-only write). */

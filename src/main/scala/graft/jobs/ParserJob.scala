@@ -24,6 +24,10 @@ import graft.url.{RegexUrlFilter, Signatures, UrlFilter, UrlNormalizers, UrlUtil
   */
 object ParserJob {
 
+  /** Metadata key under which parse stores the decoded payload's
+    * perceptual hash. */
+  val PhashMeta = "phash"
+
   /** Pure single-page parse, shared with refsim. */
   def parsePage(page: WebPage, conf: CrawlConfig, source: OutlinkSource,
       filter: UrlFilter, batchId: String): WebPage = {
@@ -69,6 +73,10 @@ object ParserJob {
     val withParse = page.copy(
       text = text,
       title = title,
+      // persist the content-derived perceptual hash in the metadata escape
+      // hatch (reference: metadata map, webpage.avsc) — downstream image
+      // dedup (IndexerJob.dropNearDupImages) reads it without re-decoding
+      metadata = page.metadata + (ParserJob.PhashMeta -> phash.toString),
       prevSignature = if (page.signature != null) page.signature else page.prevSignature,
       signature = sig,
       outlinks = outlinks,

@@ -88,6 +88,35 @@ class IndexFiltersSpec extends AnyFunSuite {
     assert(docs("k4").isEmpty)
   }
 
+  test("PhashIndexingFilter + dropNearDupImages: one canonical doc per image cluster") {
+    import graft.jobs.{ParserJob, PhashIndexingFilter}
+    val pages = Seq(
+      page("k1", "http://a/1", Map(ParserJob.PhashMeta -> "123456789")),
+      page("k2", "http://a/2", Map(ParserJob.PhashMeta -> "123456789")), // exact dup
+      page("k3", "http://a/3", // one bit off k1 -> same near-dup cluster
+        Map(ParserJob.PhashMeta -> (123456789L ^ 2L).toString)),
+      page("k4", "http://a/4", Map(ParserJob.PhashMeta -> "987654321098")),
+      page("k5", "http://a/5")).toDF() // no phash (failed decode): passes through
+    val docs = IndexerJob.buildDocs(pages, extraFilters = Seq(PhashIndexingFilter()))
+    val kept = IndexerJob.dropNearDupImages(docs)
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(kept == Set("k1", "k4", "k5"))
+  }
+
+  test("parse persists the decoded payload's phash for downstream image dedup") {
+    import graft.jobs.ParserJob
+    import graft.images.ImageSynth
+    val url = ImageSynth.urlOf(7, 3)
+    val row = ImageSynth.rowForUrl(url, 16, 16)
+    val p = WebPage(url = url, status = CrawlStatus.FETCHED, content = row.bytes,
+      metadata = Map("caption" -> row.caption), markers = Map(Marks.FETCH -> "b-1"))
+    val parsed = ParserJob.parsePage(p, graft.crawl.CrawlConfig(),
+      graft.site.MapOutlinks(Map.empty), graft.url.RegexUrlFilter.acceptAll, "b-1")
+    // the stored hash is the one recomputed from the DECODED pixels — which
+    // for the lossless PNG path equals the table's phash
+    assert(parsed.metadata(ParserJob.PhashMeta) == row.phash.toString)
+  }
+
   test("TldScoring boosts by the walked suffix, not the last label (TLDScoringFilter)") {
     val tld = TldScoring(CrawlConfig(), boosts = Map("co.uk" -> 2.0f, "uk" -> 5.0f))
     val p = WebPage(url = "http://news.example.co.uk/")
