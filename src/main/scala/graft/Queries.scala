@@ -579,6 +579,24 @@ object Queries {
       .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** Gopher-style repetition diagnostics per document: distinct-token
+    * fraction, top-2-gram char coverage, duplicated-5-gram char coverage
+    * (the repetition-rule family of corpus quality filtering). */
+  private def qRepetitionStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCleaning.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        round(col("distinct_frac"), 4).as("distinct_frac"),
+        round(col("top_gram_frac"), 4).as("top_gram_frac"),
+        round(col("dup_gram_frac"), 4).as("dup_gram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** C4-style cross-corpus span dedup: every duplicated 5-word span keeps
+    * only its first occurrence (min doc_id, pos); documents are rebuilt
+    * from surviving spans. */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextCleaning.dedupSpans(t(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k neighbors for probe vectors (the ANN baseline). */
@@ -795,6 +813,8 @@ object Queries {
     "q_token_count_bpe" -> (qTokenCountBpe _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
+    "q_repetition_stats" -> (qRepetitionStats _),
+    "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_embed_lsh_ann" -> (qEmbedLshAnn _),
     "q_embed_rhp_ann" -> (qEmbedRhpAnn _),
@@ -1116,6 +1136,62 @@ object Queries {
                       w -> w = 'the' OR w = 'a')) * 1.0 /
                       len(regexp_split_to_array(lower(text),'\s+'))), 4) AS stop_ratio
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> '') AS ws
+           FROM documents
+         ), base AS (
+           SELECT doc_id, ws, len(array_to_string(ws, ' ')) AS n_chars,
+                  len(ws) AS n_tokens, len(list_distinct(ws)) AS n_distinct
+           FROM toks WHERE len(ws) > 0
+         ), g2 AS (
+           SELECT doc_id, any_value(n_chars) AS nc, array_to_string(ws[i:i+1], ' ') AS g,
+                  count(*) AS cnt
+           FROM base, unnest(range(1, n_tokens)) AS t(i)
+           GROUP BY doc_id, g
+         ), g5 AS (
+           SELECT doc_id, any_value(n_chars) AS nc, array_to_string(ws[i:i+4], ' ') AS g,
+                  count(*) AS cnt
+           FROM base, unnest(range(1, n_tokens - 3)) AS t(i)
+           GROUP BY doc_id, g
+         ), t2 AS (
+           SELECT doc_id, least(1.0, max(cnt * len(g)) * 1.0 / any_value(nc)) AS top_gram_frac
+           FROM g2 GROUP BY doc_id
+         ), d5 AS (
+           SELECT doc_id,
+                  least(1.0, sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) * 1.0
+                        / any_value(nc)) AS dup_gram_frac
+           FROM g5 GROUP BY doc_id
+         )
+         SELECT b.doc_id, n_tokens,
+                round(n_distinct * 1.0 / n_tokens, 4) AS distinct_frac,
+                round(coalesce(top_gram_frac, 0), 4) AS top_gram_frac,
+                round(coalesce(dup_gram_frac, 0), 4) AS dup_gram_frac
+         FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         ORDER BY doc_id""",
+    "q_dedup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> '') AS ws
+           FROM documents
+         ), spans AS (
+           SELECT doc_id, j AS pos, array_to_string(ws[j*5+1 : j*5+5], ' ') AS span
+           FROM toks, unnest(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS t(j)
+           WHERE len(ws) > 0
+         ), kept AS (
+           SELECT doc_id, pos, span FROM (
+             SELECT doc_id, pos, span,
+                    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+             FROM spans) WHERE rn = 1
+         ), reb AS (
+           SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS spans_kept
+           FROM kept GROUP BY doc_id
+         ), tot AS (SELECT doc_id, count(*) AS spans_total FROM spans GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+                coalesce(spans_kept, 0) AS spans_kept,
+                coalesce(spans_total, 0) - coalesce(spans_kept, 0) AS spans_dropped
+         FROM documents d LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT source,
                 CAST(sum(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> ''))) AS BIGINT) AS total_tokens,

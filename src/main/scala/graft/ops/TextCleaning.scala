@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators a large-scale training-data pipeline runs
+  * between crawl and tokenization: repetition diagnostics (the Gopher
+  * rules' repetition family) and cross-corpus span-level exact dedup
+  * (the C4 cleaning step). Everything is declarative Catalyst — explode /
+  * partial-aggregatable groupBy / join — so plans stay in whole-stage
+  * codegen and map-side combine applies to every shuffle.
+  *
+  * Scale notes (100 TB lens):
+  *  - Both ops shuffle on short string keys (an n-gram / a k-word span,
+  *    tens of bytes). Rows carry only (id, pos) beside the key — document
+  *    text never rides a shuffle; the cleaned text is rebuilt by a final
+  *    per-document aggregate over kept spans.
+  *  - All aggregates are min/max/sum/count → map-side partial aggregation
+  *    halves every exchange. No windows on the hot path: first-occurrence
+  *    is arg-min via `min(struct(id, pos))`, not a per-key sort.
+  */
+object TextCleaning {
+
+  /** Non-empty, lowercased, whitespace-split tokens (the corpus-wide
+    * convention shared with [[TextAnalysis.tokens]] and the DuckDB
+    * oracles: `list_filter(regexp_split_to_array(lower(t),'\s+'), w->w<>'')`). */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), w => w =!= "")
+
+  /** Word n-grams of `ws` joined by single spaces: positions 1..len-n+1.
+    * Guarded for len < n — Spark's `sequence(1, stop)` counts DOWN when
+    * stop < 1, which would feed slice() an illegal start of 0. */
+  private def grams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition statistics, one row per document:
+    *
+    *  - `n_tokens`        token count
+    *  - `distinct_frac`   distinct tokens / tokens (1.0 = no repetition)
+    *  - `topNgram_frac`   chars covered by the most frequent word n-gram
+    *                      (count x gram length / doc char length), for the
+    *                      "fraction of characters in the most common
+    *                      n-gram" Gopher rules (n small, 2-4)
+    *  - `dupNgram_frac`   chars covered by all word n-grams occurring more
+    *                      than once (occurrences x length / doc chars,
+    *                      clipped at 1.0 — overlaps intentionally counted
+    *                      per occurrence, documented contract), for the
+    *                      "fraction of characters in duplicated n-grams"
+    *                      rules (n large, 5-10)
+    *
+    * Char length is over the space-normalized token stream
+    * (`array_join(ws, ' ')`), so raw-whitespace differences don't skew the
+    * fractions. One explode per n-gram size, partial-aggregated counts,
+    * then a per-doc max/sum — two narrow shuffles keyed by (doc, gram).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .withColumn("n_chars", length(array_join(col("ws"), " ")))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))))
+
+    def gramFracs(n: Int, top: Boolean): DataFrame =
+      base.select(id, col("n_chars"), explode(grams(col("ws"), n)).as("g"))
+        .where(col("g") =!= "")
+        .groupBy(id, col("n_chars"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(id)
+        .agg((if (top)
+          max(col("cnt") * length(col("g")))
+        else
+          sum(when(col("cnt") > 1, col("cnt") * length(col("g"))).otherwise(0L)))
+          .cast("double").as("covered"),
+          first(col("n_chars")).as("nc"))
+        .select(id, least(lit(1.0), col("covered") / col("nc")).as("frac"))
+
+    base.select(id, col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_frac"))
+      .join(gramFracs(topN, top = true).withColumnRenamed("frac", "top_gram_frac"),
+        Seq(idCol), "left_outer")
+      .join(gramFracs(dupN, top = false).withColumnRenamed("frac", "dup_gram_frac"),
+        Seq(idCol), "left_outer")
+      .select(id, col("n_tokens"), col("distinct_frac"),
+        coalesce(col("top_gram_frac"), lit(0.0)).as("top_gram_frac"),
+        coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"))
+  }
+
+  /** C4-style cross-corpus exact span dedup: split every document into
+    * consecutive k-word spans (the trailing remainder is a span too), keep
+    * each distinct span's FIRST occurrence corpus-wide (min (id, pos) —
+    * C4 keeps one occurrence of every duplicated three-sentence span),
+    * and rebuild each document from its surviving spans in order.
+    *
+    * Returns (id, clean_text, spans_kept, spans_dropped); documents with
+    * no tokens come back with empty clean_text. First-occurrence is an
+    * arg-min aggregate keyed by the span string — no window sort, and the
+    * documents table itself is touched only at the final rebuild join.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"span width must be positive: $k")
+    val id = col(idCol)
+    val toks = docs.select(id, tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    // span j (0-based) covers tokens j*k+1 .. j*k+k; ceil(len/k) spans
+    val spans = toks.select(id,
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(k.toDouble)).cast("int") - 1),
+          j => array_join(slice(col("ws"), j * k + 1, lit(k)), " ")))
+          .as(Seq("pos", "span")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = spans.groupBy(col("span"))
+      .agg(min(struct(id.as("fid"), col("pos").as("fpos"))).as("f"))
+    val kept = spans.join(firsts, Seq("span"))
+      .where(id === col("f.fid") && col("pos") === col("f.fpos"))
+      .select(id, col("pos"), col("span"))
+    val rebuilt = kept.groupBy(id).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+        s => s("span")), " ").as("clean_text"),
+      count(lit(1)).as("spans_kept"))
+    val totals = spans.groupBy(id).agg(count(lit(1)).as("spans_total"))
+    val out = docs.select(id)
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .join(totals, Seq(idCol), "left_outer")
+      .select(id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("spans_kept"), lit(0L)).as("spans_kept"),
+        (coalesce(col("spans_total"), lit(0L)) -
+          coalesce(col("spans_kept"), lit(0L))).as("spans_dropped"))
+    out
+  }
+}
