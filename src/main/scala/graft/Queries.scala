@@ -346,6 +346,26 @@ object Queries {
     graft.jobs.LinkDb.inlinkStats(graft.jobs.LinkDb.edges(s, pages))
   }
 
+  /** Offline link analysis (the scoring-link producer): damped PageRank
+    * with dangling-mass redistribution over the same deterministic edge
+    * universe as [[qLinkdbInlinks]], 3 iterations — the oracle unrolls the
+    * identical recurrence (same double constants, same coalesce/dangling
+    * semantics), proving the iterative rank job engine-portable. The edges
+    * are built columnar (no typed map) so DuckDB replicates them verbatim. */
+  private def qLinkrank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+      .select(
+        concat(lit("http://h"), col("doc_id") % 20, lit(".example.com/p/"),
+          col("doc_id"), lit(".html")).as("src"),
+        concat(lit("http://h"), (col("doc_id") + col("k")) % 20,
+          lit(".example.com/p/"), (col("doc_id") * 31 + col("k")) % 1000,
+          lit(".html")).as("dst"))
+    graft.jobs.LinkDb.linkRank(s, edges, "src", "dst", iterations = 3)
+      .select(col("url"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("url"))
+  }
+
   /** Embedding-cosine near-dup: deterministic perturbed twins (double-math
     * replicable in SQL) unioned into the corpus, then RHP-bucket candidate
     * pairs + exact-cosine confirm >= 0.95 — the oracle recomputes the
@@ -554,6 +574,43 @@ object Queries {
         res AS (SELECT p.doc_id, coalesce(h.tld, 'none') AS tld
                 FROM p LEFT JOIN hit h ON h.doc_id = p.doc_id)
         SELECT tld, count(*) AS cnt FROM res GROUP BY tld ORDER BY tld"""
+  }
+
+  /** DuckDB mirror of [[qLinkrank]]: the damped-PageRank recurrence
+    * unrolled (generated, not hand-copied, so every iteration is the same
+    * recurrence LinkDb.linkRank runs). Every constant is cast to DOUBLE and
+    * combined in the same operation order as the Spark plan — the engines
+    * do identical IEEE arithmetic and only summation order differs, which
+    * the final round(6) absorbs. */
+  private def linkRankOracle: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         SELECT nd.url, nd.dangling,
+                (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+                  + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + dm.dm / nn.n) AS rank
+         FROM nd
+         LEFT JOIN (SELECT w.dst AS url, sum($prev.rank * w.w) AS contrib
+                    FROM $prev JOIN w ON w.src = $prev.url GROUP BY w.dst) c USING (url)
+         CROSS JOIN nn
+         CROSS JOIN (SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+                     FROM $prev WHERE dangling) dm)"""
+    val steps = (1 to 3).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH raw AS (
+         SELECT 'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id ||
+                  '.html' AS src,
+                'http://h' || ((doc_id + k) % 20) || '.example.com/p/' ||
+                  ((doc_id * 31 + k) % 1000) || '.html' AS dst
+         FROM documents, unnest([1,2,3]) AS t(k)),
+       e AS (SELECT DISTINCT src, dst FROM raw),
+       od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       w AS (SELECT e.src, e.dst, 1.0::DOUBLE / od.odeg AS w FROM e JOIN od USING (src)),
+       nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+       nd AS (SELECT nodes.url, (od.src IS NULL) AS dangling
+              FROM nodes LEFT JOIN od ON od.src = nodes.url),
+       nn AS (SELECT count(*) AS n FROM nd),
+       r0 AS (SELECT url, dangling, 1.0::DOUBLE / nn.n AS rank FROM nd CROSS JOIN nn),
+       $steps
+       SELECT url, round(rank, 6) AS rank FROM r3 ORDER BY url"""
   }
 
   /** BPE-ish regex token counting (GPT-2 pre-tokenizer shape, lookahead-free
@@ -805,6 +862,7 @@ object Queries {
     "q_fingerprint" -> (qFingerprint _),
     "q_outlink_extract" -> (qOutlinkExtract _),
     "q_linkdb_inlinks" -> (qLinkdbInlinks _),
+    "q_linkrank" -> (qLinkrank _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lang_detect" -> (qLangDetect _),
     "q_lang_detect_wide" -> (qLangDetectWide _),
@@ -1054,6 +1112,7 @@ object Queries {
                 round(sum(score), 3) AS inbound_score,
                 CAST(min(distance) AS INTEGER) AS min_distance
          FROM links GROUP BY out_url ORDER BY out_url""",
+    "q_linkrank" -> linkRankOracle,
     "q_embed_neardup" ->
       """WITH e0 AS (
            SELECT vec_id, list_transform(range(1,65), i -> embedding[i]::DOUBLE) AS e

@@ -40,6 +40,7 @@ final class JobFactory(spark: SparkSession) {
         case "INDEX" => Some((a, _) => index(a, conf))
         case "HOSTDB" => Some((a, _) => hostdb(a))
         case "LINKDB" => Some((a, _) => linkdb(a))
+        case "LINKRANK" => Some((a, _) => linkrank(a))
         case "COMPACT" => Some((a, _) => compact(a))
         case _ => None
       }
@@ -164,6 +165,33 @@ final class JobFactory(spark: SparkSession) {
         Map("edges" -> spark.read.parquet(p).count(), "out" -> p)
       case None => Map("edges" -> edges.count())
     }
+  }
+
+  /** Offline link analysis over the frontier's own link graph: edges from
+    * page outlinks → damped PageRank → optional `out` parquet dump and
+    * optional write-back (`apply=true`) of the ranks into page scores as a
+    * "linkrank" snapshot — after which a crawl configured with
+    * `scoringFilterClass=link` generates by these ranks. The missing
+    * producer half of the reference's scoring-link plugin. */
+  private def linkrank(args: Map[String, Any]): Map[String, Any] = {
+    import spark.implicits._
+    val table = str(args, "table").getOrElse("/tmp/graft-frontier")
+    val snap = new SnapshotTable(table)
+    val pages = snap.currentView(spark).drop("snapshot_id").as[WebPage]
+    val iters = int(args, "iterations").getOrElse(5)
+    val ranks = LinkDb.linkRank(spark,
+      LinkDb.edges(spark, pages).toDF(), "in", "out", iterations = iters)
+    val nodes = ranks.count()
+    val out = str(args, "out")
+    out.foreach(p => ranks.write.mode("overwrite").parquet(p))
+    val applied: Any =
+      if (args.get("apply").contains(true)) {
+        val round = snap.headSnapshot.map(_.round).getOrElse(0)
+        snap.append(LinkDb.applyRanks(spark, pages, ranks).toDF(), round, "linkrank")
+      } else null
+    ranks.unpersist()
+    Map("nodes" -> nodes, "iterations" -> iters,
+      "applied" -> applied, "out" -> out.orNull)
   }
 
   private def compact(args: Map[String, Any]): Map[String, Any] = {

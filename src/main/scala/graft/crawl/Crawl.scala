@@ -241,7 +241,9 @@ final class Crawl(
       compactEvery: Int = 8): Seq[RoundStats] = {
     val done: Option[(Int, String)] = if (table.exists) table.lastCompleted else None
     def completed(round: Int, stage: String): Boolean = done.exists { case (r, s) =>
-      r > round || (r == round && stageOrder(s) >= stageOrder(stage))
+      // a stage this loop doesn't know (e.g. an offline "linkrank" rescore
+      // snapshot) can only run between rounds, so it marks its round done
+      r > round || (r == round && stageOrder.getOrElse(s, 3) >= stageOrder(stage))
     }
     if (!completed(0, "inject")) inject(seeds)
     (1 to depth).map { round =>

@@ -274,9 +274,12 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each propagation step references the prior labels twice (the prop
+    // branch and the carry-forward join), so the plan would grow 4^rounds
+    // without a true lineage cut per convergence check — Lineage.cut, not
+    // persist+count (see Lineage's scaladoc for the measured pathology)
+    var labels = Lineage.cut(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -292,7 +295,7 @@ object Dedup {
         k += 1
         iters += 1
       }
-      val stepped = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val stepped = Lineage.cut(next)
       changed = stepped.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .where(col("label") =!= col("old")).count()
       labels.unpersist()

@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage control for iterative jobs (label propagation, link analysis).
+  *
+  * persist+count alone is NOT enough for a loop whose next state references
+  * the previous state more than once: the cached DATA is reused, but the
+  * LOGICAL plan doubles per reference per iteration, so the analyzer/
+  * optimizer does O(2^k) work by iteration k (measured: a 10-iteration
+  * PageRank on a 9-node graph wedged for >20 minutes before this existed).
+  * A true lineage cut replaces the whole history with a constant-size
+  * LogicalRDD leaf.
+  */
+object Lineage {
+
+  /** Eagerly materialize `df` and cut its lineage. Uses a reliable
+    * `checkpoint()` when the session has a checkpoint dir configured (the
+    * cluster path — survives executor loss, required for long iterative
+    * jobs at 10^10 scale), `localCheckpoint()` otherwise (executor-local
+    * storage; fine for local mode and short loops). Storage for the cut
+    * frames is reclaimed by the ContextCleaner once unreferenced;
+    * `unpersist()` on the result is a harmless no-op.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}

@@ -113,10 +113,13 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // long path (diameter 6) still converges
-    val path = (0L until 6L).map(i => (i, i + 1)).toDF("da", "db")
+    // long path (diameter 16 → ~16 propagation rounds) still converges —
+    // also the Lineage.cut regression guard: each round references the
+    // prior labels twice, so without the per-check lineage cut this plan
+    // would be ~4^8 leaves and the analyzer would wedge
+    val path = (0L until 16L).map(i => (i, i + 1)).toDF("da", "db")
     val gotPath = graft.ops.Dedup.dedupClusters(path).collect()
-    assert(gotPath.forall(_.getLong(1) == 0L))
+    assert(gotPath.length == 17 && gotPath.forall(_.getLong(1) == 0L))
   }
 
   test("deterministic sampling: reproducible and composable") {
