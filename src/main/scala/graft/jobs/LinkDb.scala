@@ -151,16 +151,19 @@ object LinkDb {
     * `scoringFilterClass=link` generates by these ranks: generatorSortValue
     * = score x initSort, LinkAnalysisScoringFilter.java:72-75). Pages the
     * analysis never saw keep their current score (the reference updater
-    * only touches keys present in its output). One key-shuffle; the rank
-    * side is node-sized. */
+    * only touches keys present in its output). One key-shuffle, fully
+    * columnar — a typed joinWith+map here would drag every page (payload
+    * bytes included) through an encoder round-trip and out of whole-stage
+    * codegen; the coalesce keeps the update inside Tungsten rows. */
   def applyRanks(spark: SparkSession, pages: Dataset[WebPage],
       ranks: DataFrame): Dataset[WebPage] = {
     import spark.implicits._
-    val r = ranks.select(col("url").as("_r_url"), col("rank"))
-    pages.joinWith(r, pages("url") === r("_r_url"), "left_outer")
-      .map { case (p, row) =>
-        if (row == null) p else p.copy(score = row.getDouble(1).toFloat)
-      }
+    val r = ranks.select(col("url").as("_r_url"), col("rank").cast("float").as("_r_rank"))
+    pages.toDF()
+      .join(r, col("url") === col("_r_url"), "left_outer")
+      .withColumn("score", coalesce(col("_r_rank"), col("score")))
+      .drop("_r_url", "_r_rank")
+      .as[WebPage]
   }
 
   /** FrontierJob: create a bare UNFETCHED frontier row for every edge
