@@ -69,9 +69,18 @@ object ConfManager {
       adaptiveSyncDeltaRate =
         p.get("db.fetch.schedule.adaptive.sync_delta_rate").map(_.trim.toDouble)
           .getOrElse(base.adaptiveSyncDeltaRate),
+      scoringFilterClass = s("scoring.filter.class", base.scoringFilterClass),
       scoreInjected = f("db.score.injected", base.scoreInjected),
       internalScoreFactor = f("db.score.link.internal", base.internalScoreFactor),
       externalScoreFactor = f("db.score.link.external", base.externalScoreFactor),
+      linkAnalysisNormalizedScore =
+        f("link.analyze.normalize.score", base.linkAnalysisNormalizedScore),
+      indexerScorePower = f("indexer.score.power", base.indexerScorePower),
+      // per-suffix index boosts: indexer.tld.boost.<suffix>=<float>
+      tldBoosts = p.collect {
+        case (k, v) if k.startsWith("indexer.tld.boost.") =>
+          k.stripPrefix("indexer.tld.boost.") -> v.trim.toFloat
+      },
       topN = l("generate.topn", base.topN),
       generateMaxCount = l("generate.max.count", base.generateMaxCount),
       generateCountMode = s("generate.count.mode", base.generateCountMode),

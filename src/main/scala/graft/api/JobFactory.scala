@@ -145,7 +145,12 @@ final class JobFactory(spark: SparkSession) {
   }
 
   private def index(args: Map[String, Any], conf: CrawlConfig): Map[String, Any] = {
-    val docs = IndexerJob.buildDocs(view(args), str(args, "batchId"))
+    // the configured scoring policy drives the doc boost (reference
+    // IndexingJob runs ScoringFilters.indexerScore), so a `link`/`tld`
+    // config changes the index output, not just the crawl ordering
+    val docs = IndexerJob.buildDocs(view(args), str(args, "batchId"),
+      scorePower = conf.indexerScorePower.toDouble,
+      scoring = Some(graft.score.ScoringFilter(conf)))
     val out = str(args, "out")
     out.foreach(p => docs.toDF().write.mode("overwrite").parquet(p))
     Map("docs" -> docs.count(), "out" -> out.orNull)

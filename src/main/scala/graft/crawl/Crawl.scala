@@ -239,11 +239,14 @@ final class Crawl(
     * is the default, not an option the caller must remember. */
   def run(depth: Int, seeds: Seq[String], collectStats: Boolean = true,
       compactEvery: Int = 8): Seq[RoundStats] = {
-    val done: Option[(Int, String)] = if (table.exists) table.lastCompleted else None
+    // resume from the last CRAWL stage: foreign snapshots (an offline
+    // "linkrank" rescore, say) are skipped by the parent-chain walk — they
+    // carry no evidence about this loop's progress, and treating one as
+    // "round done" would silently drop the round's remaining fetch/update
+    val done: Option[(Int, String)] =
+      if (table.exists) table.lastCompletedOf(stageOrder.keySet) else None
     def completed(round: Int, stage: String): Boolean = done.exists { case (r, s) =>
-      // a stage this loop doesn't know (e.g. an offline "linkrank" rescore
-      // snapshot) can only run between rounds, so it marks its round done
-      r > round || (r == round && stageOrder.getOrElse(s, 3) >= stageOrder(stage))
+      r > round || (r == round && stageOrder(s) >= stageOrder(stage))
     }
     if (!completed(0, "inject")) inject(seeds)
     (1 to depth).map { round =>

@@ -24,6 +24,8 @@ case class CrawlConfig(
     internalScoreFactor: Float = 1.0f, // db.score.link.internal
     externalScoreFactor: Float = 1.0f, // db.score.link.external
     linkAnalysisNormalizedScore: Float = 1.0f, // link.analyze.normalize.score
+    indexerScorePower: Float = 0.5f, // indexer.score.power
+    tldBoosts: Map[String, Float] = Map.empty, // indexer.tld.boost.<suffix>
     // generate
     topN: Long = 0, // 0 = unlimited; per-partition limit like the reference
     generateMaxCount: Long = 0, // generate.max.count, 0 = unlimited

@@ -270,6 +270,10 @@ object DbUpdateJob {
       val c = candidates.persist()
       m.candidates.add(c.count())
       m.bloomPositives.add(c.filter(p => b.value.mightContain(p.key)).count())
+      // counts taken — release, or every metrics-enabled update round pins
+      // a dead delta-sized cache for the life of the session (downstream
+      // branches re-read `updated`, which the caller persists)
+      c.unpersist()
     }
     // bloom-negative => definitely new, no join needed
     val definitelyNew = candidates.filter(p => !b.value.mightContain(p.key))

@@ -19,17 +19,23 @@ trait IndexingFilter extends Serializable {
 }
 
 /** index-basic (BasicIndexingFilter.java): identity, title, text, times,
-  * signature and the score boost. Boost = score^power * initScore — the
-  * OPIC indexer dampening (OPICScoringFilter.indexerScore, power 0.5),
-  * expressed columnar so it stays in whole-stage codegen. */
-final case class BasicIndexingFilter(scorePower: Double = 0.5) extends IndexingFilter {
+  * signature and the score boost. The boost column is the configured
+  * ScoringFilter's columnar indexerScore (reference IndexingJob runs
+  * ScoringFilters.indexerScore to set the doc boost) — OPIC's
+  * score^power dampening by default, link/tld shapes under
+  * `scoringFilterClass` — expressed as an expression so it stays in
+  * whole-stage codegen. */
+final case class BasicIndexingFilter(scorePower: Double = 0.5,
+    scoring: Option[graft.score.ScoringFilter] = None) extends IndexingFilter {
   val name = "basic"
   def apply(docs: DataFrame): DataFrame = docs
     .withColumn("doc_key", col("key"))
     .withColumn("content_type", col("contentType"))
     .withColumn("fetch_time", col("fetchTime"))
     .withColumn("signature", hex(col("signature")))
-    .withColumn("boost", pow(col("score").cast("double"), scorePower))
+    .withColumn("boost", scoring
+      .map(_.indexerBoostCol(docs.sparkSession, col("url"), col("score"), lit(1.0)))
+      .getOrElse(pow(col("score").cast("double"), scorePower)))
     .withColumn("batch_id", col("batchId"))
 }
 
@@ -148,18 +154,21 @@ object IndexerJob {
   private val CanonicalCols = Seq("doc_key", "url", "title", "text", "anchors",
     "content_type", "fetch_time", "signature", "boost", "batch_id", "round")
 
-  def defaultChain(scorePower: Double, deduplicateAnchors: Boolean): Seq[IndexingFilter] =
-    Seq(BasicIndexingFilter(scorePower), AnchorIndexingFilter(deduplicateAnchors))
+  def defaultChain(scorePower: Double, deduplicateAnchors: Boolean,
+      scoring: Option[graft.score.ScoringFilter] = None): Seq[IndexingFilter] =
+    Seq(BasicIndexingFilter(scorePower, scoring),
+      AnchorIndexingFilter(deduplicateAnchors))
 
   def buildDocs(pages: DataFrame, batchId: Option[String] = None,
       scorePower: Double = 0.5, deduplicateAnchors: Boolean = false,
-      extraFilters: Seq[IndexingFilter] = Seq.empty): DataFrame = {
+      extraFilters: Seq[IndexingFilter] = Seq.empty,
+      scoring: Option[graft.score.ScoringFilter] = None): DataFrame = {
     val parsed = pages.where(
       col("status") === CrawlStatus.FETCHED &&
         element_at(col("markers"), Marks.PARSE).isNotNull &&
         batchId.map(b => element_at(col("markers"), Marks.PARSE) === b)
           .getOrElse(lit(true)))
-    val chain = defaultChain(scorePower, deduplicateAnchors) ++ extraFilters
+    val chain = defaultChain(scorePower, deduplicateAnchors, scoring) ++ extraFilters
     val withCols = chain.foldLeft(parsed)((df, f) => f(df))
     // canonical columns first, then anything a custom filter added
     val extras = withCols.columns
@@ -186,7 +195,8 @@ object IndexerJob {
   /** Write the index delta for a batch (the IndexingJob map-only write). */
   def index(spark: SparkSession, pages: DataFrame, outDir: String,
       batchId: Option[String] = None,
-      extraFilters: Seq[IndexingFilter] = Seq.empty): Unit =
-    buildDocs(pages, batchId, extraFilters = extraFilters)
+      extraFilters: Seq[IndexingFilter] = Seq.empty,
+      scoring: Option[graft.score.ScoringFilter] = None): Unit =
+    buildDocs(pages, batchId, extraFilters = extraFilters, scoring = scoring)
       .write.mode("append").parquet(outDir)
 }

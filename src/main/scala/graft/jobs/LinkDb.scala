@@ -108,9 +108,14 @@ object LinkDb {
       srcCol: String = "in", dstCol: String = "out",
       iterations: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val edges = rawEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // the deduped edge table feeds three consumers (outdeg, weighted,
+    // nodes) — persist it so the corpus-scale distinct shuffle runs once,
+    // then release it as soon as its two derived tables are materialized
+    val edges = rawEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    // one shuffle ever for the big table: weight = 1/outdeg rides each edge
+    // weight = 1/outdeg rides each edge, hash-partitioned once on src
     val weighted = edges.join(outdeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w"))
       .repartition(col("src"))
@@ -122,6 +127,8 @@ object LinkDb {
       .select(col("url"), coalesce(col("nd"), lit(true)).as("dangling"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    weighted.count()
+    edges.unpersist()
     // eager lineage cut per iteration (graft.ops.Lineage: reliable
     // checkpoint on a cluster, local checkpoint otherwise) — the next
     // iteration always builds on a constant-size LogicalRDD leaf

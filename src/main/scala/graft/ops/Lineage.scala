@@ -18,9 +18,16 @@ object Lineage {
     * `checkpoint()` when the session has a checkpoint dir configured (the
     * cluster path — survives executor loss, required for long iterative
     * jobs at 10^10 scale), `localCheckpoint()` otherwise (executor-local
-    * storage; fine for local mode and short loops). Storage for the cut
-    * frames is reclaimed by the ContextCleaner once unreferenced;
-    * `unpersist()` on the result is a harmless no-op.
+    * storage; fine for local mode and short loops).
+    *
+    * Reclamation differs by path: local-checkpoint block storage is freed
+    * by the ContextCleaner once the frame is unreferenced (`unpersist()`
+    * is a harmless no-op). Reliable checkpoint FILES, however, are only
+    * auto-deleted when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is set (Spark defaults it to false) — a cluster session running
+    * iterative jobs should either set that flag or point the checkpoint
+    * dir at a per-job location it removes afterwards, or every superseded
+    * iteration's table stays on the cluster filesystem.
     */
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()

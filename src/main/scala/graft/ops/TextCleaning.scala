@@ -98,8 +98,12 @@ object TextCleaning {
     *
     * Returns (id, clean_text, spans_kept, spans_dropped); documents with
     * no tokens come back with empty clean_text. First-occurrence is an
-    * arg-min aggregate keyed by the span string — no window sort, and the
-    * documents table itself is touched only at the final rebuild join.
+    * arg-min aggregate keyed by the span string — no window sort (a
+    * hyper-common span would serialize one task; the agg combines
+    * map-side), and the arg-min row IS the kept row (span + fid + fpos),
+    * so there is no join back onto the exploded stream and the stream is
+    * consumed exactly once — nothing to persist. Span totals are
+    * ceil(len/k) straight off the token counts, no explode.
     */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
@@ -113,17 +117,15 @@ object TextCleaning {
           sequence(lit(0), ceil(size(col("ws")) / lit(k.toDouble)).cast("int") - 1),
           j => array_join(slice(col("ws"), j * k + 1, lit(k)), " ")))
           .as(Seq("pos", "span")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = spans.groupBy(col("span"))
+    val kept = spans.groupBy(col("span"))
       .agg(min(struct(id.as("fid"), col("pos").as("fpos"))).as("f"))
-    val kept = spans.join(firsts, Seq("span"))
-      .where(id === col("f.fid") && col("pos") === col("f.fpos"))
-      .select(id, col("pos"), col("span"))
+      .select(col("f.fid").as(idCol), col("f.fpos").as("pos"), col("span"))
     val rebuilt = kept.groupBy(id).agg(
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
         s => s("span")), " ").as("clean_text"),
       count(lit(1)).as("spans_kept"))
-    val totals = spans.groupBy(id).agg(count(lit(1)).as("spans_total"))
+    val totals = toks.select(id,
+      ceil(size(col("ws")) / lit(k.toDouble)).cast("long").as("spans_total"))
     val out = docs.select(id)
       .join(rebuilt, Seq(idCol), "left_outer")
       .join(totals, Seq(idCol), "left_outer")

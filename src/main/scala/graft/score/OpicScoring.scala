@@ -67,8 +67,15 @@ case class OpicScoring(conf: CrawlConfig) extends ScoringFilter {
     page.copy(score = score, cash = page.cash + score)
   }
 
-  /** Indexer boost = score^0.5 * initScore — the OPIC dampening
-    * (OPICScoringFilter.indexerScore, indexer.score.power = 0.5). */
+  /** Indexer boost = score^power * initScore — the OPIC dampening
+    * (OPICScoringFilter.indexerScore, indexer.score.power, default 0.5). */
   override def indexerScore(page: WebPage, initScore: Float): Float =
-    math.pow(page.score.toDouble, 0.5).toFloat * initScore
+    math.pow(page.score.toDouble, conf.indexerScorePower.toDouble).toFloat * initScore
+
+  override def indexerBoostCol(spark: org.apache.spark.sql.SparkSession,
+      url: org.apache.spark.sql.Column, score: org.apache.spark.sql.Column,
+      initBoost: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.pow
+    pow(score.cast("double"), conf.indexerScorePower.toDouble) * initBoost
+  }
 }

@@ -1,5 +1,8 @@
 package graft.score
 
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.crawl.CrawlConfig
 import graft.model.WebPage
 import graft.url.UrlUtil
@@ -36,6 +39,14 @@ trait ScoringFilter extends Serializable {
 
   /** Index-time boost for the docs sink. */
   def indexerScore(page: WebPage, initScore: Float): Float
+
+  /** Columnar twin of [[indexerScore]] for the index doc chain
+    * (IndexerJob builds documents as column transforms, so the boost must
+    * be an expression to stay inside whole-stage codegen). MUST compute the
+    * same value from the doc columns that [[indexerScore]] computes from
+    * the row — ScoringFilterSpec pins the parity. */
+  def indexerBoostCol(spark: SparkSession, url: Column, score: Column,
+      initBoost: Column): Column
 }
 
 object ScoringFilter {
@@ -50,7 +61,7 @@ object ScoringFilter {
     val filters = names.map {
       case "opic" => OpicScoring(conf)
       case "link" => LinkAnalysisScoring(conf)
-      case "tld" => TldScoring(conf)
+      case "tld" => TldScoring(conf, conf.tldBoosts)
       case other => throw new IllegalArgumentException(
         s"unknown scoring filter '$other' (expected opic | link | tld)")
     }
@@ -77,6 +88,9 @@ case class ScoringFilterChain(filters: Seq[ScoringFilter]) extends ScoringFilter
     filters.foldLeft(page)((p, f) => f.updateScore(p, inlinked))
   override def indexerScore(page: WebPage, initScore: Float): Float =
     filters.foldLeft(initScore)((s, f) => f.indexerScore(page, s))
+  override def indexerBoostCol(spark: SparkSession, url: Column,
+      score: Column, initBoost: Column): Column =
+    filters.foldLeft(initBoost)((b, f) => f.indexerBoostCol(spark, url, score, b))
 }
 
 /** Link-analysis scoring (reference:
@@ -97,6 +111,9 @@ case class LinkAnalysisScoring(conf: CrawlConfig) extends ScoringFilter {
   override def updateScore(page: WebPage, inlinked: Seq[ScoreDatum]): WebPage = page
   override def indexerScore(page: WebPage, initScore: Float): Float =
     conf.linkAnalysisNormalizedScore * page.score
+  override def indexerBoostCol(spark: SparkSession, url: Column,
+      score: Column, initBoost: Column): Column =
+    (lit(conf.linkAnalysisNormalizedScore) * score).cast("double")
 }
 
 /** TLD boosting (reference: plugin/tld/.../TLDScoringFilter.java): a
@@ -118,5 +135,15 @@ case class TldScoring(conf: CrawlConfig,
     // URLUtil.getDomainSuffix); unknown suffix -> boost 1.0
     val tld = UrlUtil.getDomainSuffix(page.url)
     if (tld == null) initScore else initScore * boosts.getOrElse(tld, 1.0f)
+  }
+  override def indexerBoostCol(spark: SparkSession, url: Column,
+      score: Column, initBoost: Column): Column = {
+    // graft_tld is the same suffix walk the row path runs (native codegen
+    // expression); a null tld falls through every when() to factor 1.0
+    val tld = graft.functions.GraftFunctions.tldOf(spark, url)
+    val factor = boosts.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when(tld === lit(k), lit(v.toDouble)).otherwise(acc)
+    }
+    initBoost * factor
   }
 }

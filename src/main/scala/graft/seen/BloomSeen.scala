@@ -117,11 +117,6 @@ final class BloomSeen(val parts: Array[BloomFilter], val numParts: Int) extends 
     while (i < parts.length) { parts(i).mergeInPlace(other.parts(i)); i += 1 }
     this
   }
-
-  /** A structurally-identical empty bank (same per-partition bit geometry),
-    * mergeable into this one — the accumulator zero for delta adds. */
-  def emptyLike: BloomSeen =
-    new BloomSeen(parts.map(p => new BloomFilter(p.numBits, p.numHashes)), numParts)
 }
 
 object BloomSeen {
@@ -200,10 +195,14 @@ object BloomSeen {
     * bank's worth of parts total — wire cost O(|delta| + bankSize), and
     * only non-empty parts travel. Returns `bank` (mutated). */
   def addAll(bank: BloomSeen, keys: RDD[String]): BloomSeen = {
+    // only scalars and the tiny geometry table may enter the closures below:
+    // referencing `bank` itself would serialize every part's bit array into
+    // the task binary — the O(P × bankSize) wire cost this method exists to
+    // avoid (partIndex is floorMod(hashCode, n), replicated here on the Int)
     val n = bank.numParts
     val geometry = bank.parts.map(p => (p.numBits, p.numHashes))
     val built = keys
-      .map(k => (bank.partIndex(k), k))
+      .map(k => (java.lang.Math.floorMod(k.hashCode, n), k))
       .partitionBy(new org.apache.spark.HashPartitioner(n))
       .mapPartitionsWithIndex { (pid, it) =>
         // HashPartitioner over the Int part index is the identity, so this

@@ -154,6 +154,19 @@ final class SnapshotTable(val path: String, val keyCol: String = "key",
   /** Highest completed round+stage, for checkpoint resume. */
   def lastCompleted: Option[(Int, String)] = headSnapshot.map(s => (s.round, s.stage))
 
+  /** Like [[lastCompleted]], but restricted to the stages the caller's
+    * resume logic understands: walks the parent chain from HEAD past any
+    * foreign snapshot (e.g. an offline "linkrank" rescore appended between
+    * crawl rounds). Treating a foreign head as "round done" would silently
+    * skip the round's remaining crawl stages on resume. */
+  def lastCompletedOf(known: Set[String]): Option[(Int, String)] = {
+    val byId = snapshots.map(s => s.id -> s).toMap
+    Iterator.iterate(headSnapshot)(_.flatMap(s => byId.get(s.parent)))
+      .takeWhile(_.isDefined).flatten
+      .find(s => known.contains(s.stage))
+      .map(s => (s.round, s.stage))
+  }
+
   /** Drop the whole table (reference: DbCleanerJob store.deleteSchema, A10). */
   def drop(): Unit = fs.delete(root, true)
 }

@@ -249,6 +249,30 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(finalState(dirA) == finalState(dirB))
   }
 
+  test("resume walks past a foreign snapshot (offline rescore between stages)") {
+    val nPages = 120L
+    val nHosts = 5
+    val conf = baseConf.copy(topN = 8, numPartitions = 4)
+    val source = PhashOutlinks(nPages, nHosts, degree = 2)
+    val seeds = Seq(ImageSynth.urlOf(0, nHosts))
+    val images = ImageSynth.imagesDf(spark, nPages, nHosts, partitions = 4)
+
+    val dir = SparkTestBase.tmpDir("resumeForeign")
+    val c = new Crawl(spark, dir, images, conf, source)
+    c.run(2, seeds, collectStats = false)
+    // crash mid-round-3 (generate committed) with an offline LINKRANK
+    // write-back appended after it — the foreign head must NOT read as
+    // "round 3 done" on resume, or fetch/update are silently dropped
+    c.generate(3)
+    c.table.append(c.table.currentView(spark).drop("snapshot_id"), 3, "linkrank")
+    val resumed = new Crawl(spark, dir, images, conf, source)
+    resumed.run(3, seeds, collectStats = false)
+    val stages = resumed.table.snapshots.map(s => (s.round, s.stage))
+    assert(stages.count(_ == (3, "generate")) == 1, "generate(3) must not re-run")
+    assert(stages.contains((3, "fetch")) && stages.contains((3, "update")),
+      s"round 3 must complete past the foreign snapshot: $stages")
+  }
+
   test("statsOf reads the round's update delta and equals the view-derived stats") {
     import graft.model.CrawlStatus
     val nPages = 150L

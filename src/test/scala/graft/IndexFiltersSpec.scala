@@ -37,6 +37,10 @@ class IndexFiltersSpec extends AnyFunSuite {
     // IP hosts and unknown suffixes yield null (the reference skips the field)
     assert(UrlUtil.getDomainSuffix("http://192.168.0.1/") == null)
     assert(UrlUtil.getDomainSuffix("http://weird.unknowntld/") == null)
+    // IDN registry entries repaired from the reference XML's mojibake
+    // ("`øksnes.no", "lea?gaviika.no") resolve as real suffixes
+    assert(UrlUtil.getDomainSuffix("http://foo.øksnes.no/") == "øksnes.no")
+    assert(UrlUtil.getDomainSuffix("http://bar.leaŋgaviika.no/") == "leaŋgaviika.no")
   }
 
   test("TldIndexingFilter indexes the public suffix; nulls where the walk fails") {
@@ -50,6 +54,25 @@ class IndexFiltersSpec extends AnyFunSuite {
     assert(docs("k1").contains("co.uk"))
     assert(docs("k2").isEmpty)
     assert(docs("k3").isEmpty)
+  }
+
+  test("doc boost follows the configured scoring policy (IndexingJob runs indexerScore)") {
+    val pages = Seq(page("k1", "http://example.org/i").copy(score = 4f)).toDF()
+    def boost(scoring: Option[graft.score.ScoringFilter]): Double =
+      IndexerJob.buildDocs(pages, scoring = scoring)
+        .select("boost").collect().head.getDouble(0)
+    // default (no policy): the OPIC score^0.5 dampening
+    assert(boost(None) == 2.0)
+    // link policy: normalized stored score, NOT the opic shape
+    val link = graft.score.ScoringFilter(
+      graft.crawl.CrawlConfig(scoringFilterClass = "link",
+        linkAnalysisNormalizedScore = 0.25f))
+    assert(boost(Some(link)) == 1.0)
+    // opic,tld chain: sqrt(4) * org-boost 2.0
+    val chain = graft.score.ScoringFilter(
+      graft.crawl.CrawlConfig(scoringFilterClass = "opic,tld",
+        tldBoosts = Map("org" -> 2.0f)))
+    assert(boost(Some(chain)) == 4.0)
   }
 
   test("MetadataIndexingFilter splits tab-separated meta_<key> values (MetadataIndexer)") {

@@ -87,6 +87,42 @@ class ScoringFilterSpec extends AnyFunSuite {
     assert(after.cash == 0f && scored.head.score == 4f)
   }
 
+  test("indexerBoostCol is the columnar twin of indexerScore (opic/link/tld/chain)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pages = Seq(
+      WebPage(url = "http://example.org/a.html", score = 4f),
+      WebPage(url = "http://news.co.uk/b", score = 0.25f),
+      WebPage(url = "http://example.com/c", score = 9f))
+    val df = pages.map(p => (p.url, p.score)).toDF("url", "score")
+    val conf = CrawlConfig(linkAnalysisNormalizedScore = 0.5f,
+      tldBoosts = Map("org" -> 2.0f, "co.uk" -> 3.0f))
+    for (name <- Seq("opic", "link", "tld", "opic,tld")) {
+      val f = ScoringFilter(conf.copy(scoringFilterClass = name))
+      val got = df.select(col("url"),
+          f.indexerBoostCol(spark, col("url"), col("score"), lit(1.0))
+            .cast("double").as("b"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      pages.foreach { p =>
+        val want = f.indexerScore(p, 1.0f).toDouble
+        assert(math.abs(got(p.url) - want) < 1e-6,
+          s"$name ${p.url}: columnar ${got(p.url)} vs row $want")
+      }
+    }
+  }
+
+  test("ConfManager maps the scoring/indexer props") {
+    val conf = graft.api.ConfManager.fromProps(Map(
+      "scoring.filter.class" -> "link",
+      "link.analyze.normalize.score" -> "0.25",
+      "indexer.score.power" -> "1.0",
+      "indexer.tld.boost.org" -> "2.5",
+      "indexer.tld.boost.co.uk" -> "0.5"))
+    assert(conf.scoringFilterClass == "link")
+    assert(conf.linkAnalysisNormalizedScore == 0.25f)
+    assert(conf.indexerScorePower == 1.0f)
+    assert(conf.tldBoosts == Map("org" -> 2.5f, "co.uk" -> 0.5f))
+  }
+
   test("tld scoring boosts the indexer score by the page's TLD (TLDScoringFilter)") {
     val tld = TldScoring(CrawlConfig(), boosts = Map("org" -> 2.0f))
     val pOrg = WebPage(url = "http://example.org/a.html", score = 4f)
