@@ -761,6 +761,84 @@ object Queries {
       .orderBy(col("doc_key"))
   }
 
+  /** solrdedup (SolrDeleteDuplicates.java): docs synthesized with colliding
+    * signatures (37 digest groups) run the keep-one rule — max boost, then
+    * latest fetch_time, then min doc_key — and DuckDB replays the identical
+    * window. Boost ties are real (score repeats every 9 ids within a
+    * group), so the fetch_time tie-break is exercised, not just declared. */
+  private def qIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        graft.model.WebPage(
+          url = s"http://h${id % 20}.example.com/p/$id.html",
+          key = s"k$id",
+          status = graft.model.CrawlStatus.FETCHED,
+          title = s"doc-$id",
+          text = s"text of $id",
+          fetchTime = 1700000000000L + id,
+          signature = graft.url.UrlUtil.md5(s"sig${id % 37}".getBytes("UTF-8")),
+          score = (id % 9 + 1).toFloat,
+          batchId = "b-1",
+          round = 1,
+          markers = Map(graft.model.Marks.PARSE -> "b-1"))
+      }
+    val docs = graft.jobs.IndexerJob.buildDocs(pages.toDF(), batchId = Some("b-1"))
+    graft.jobs.IndexerJob.deleteDuplicates(docs)
+      .select(col("doc_key"), col("signature"),
+        round(col("boost"), 4).as("boost"), col("fetch_time"))
+      .orderBy(col("doc_key"))
+  }
+
+  /** idxclean (CleaningJob.java): an index output swept against the current
+    * page table — GONE pages (the CleanMapper built-in) plus a
+    * UrlRegexCleaningFilter blocklist hit leave the index; DuckDB mirrors
+    * the anti-join. The remove set is keys-only, so at scale the doc
+    * payload never rides the join. */
+  private def qIndexClean(s: SparkSession, dir: String): DataFrame = {
+    val gone = graft.model.CrawlStatus.GONE
+    val fetched = graft.model.CrawlStatus.FETCHED
+    val pages = t(s, dir, "documents").select(
+      concat(lit("k"), col("doc_id")).as("key"),
+      concat(lit("http://h"), col("doc_id") % 20, lit(".example.com/"),
+        when(col("doc_id") % 5 === 2, "img").otherwise("p"),
+        lit("/"), col("doc_id"), lit(".html")).as("url"),
+      when(col("doc_id") % 7 === 0, gone).otherwise(fetched).as("status"))
+    val docs = pages.select(col("key").as("doc_key"), col("url"),
+      concat(lit("doc-"), substring(col("key"), 2, 18)).as("title"))
+    graft.jobs.IndexerJob.clean(docs, pages,
+      Seq(graft.jobs.UrlRegexCleaningFilter(Seq(".*/img/.*"))))
+      .orderBy(col("doc_key"))
+  }
+
+  /** PII redaction (the pre-training scrub): documents text is salted with
+    * deterministic emails / IPv4s / phone shapes, then redacted by the
+    * TextCleaning pattern chain; DuckDB runs the IDENTICAL pattern strings
+    * (both engines' regex dialects share the no-lookaround subset the
+    * patterns are written in) and must produce byte-equal redacted text
+    * and hit counts. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+        lit(".example.com or 10."), col("doc_id") % 256, lit("."),
+        col("doc_id") % 100, lit("."), col("doc_id") % 50,
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-"), col("doc_id") % 900 + 100, lit("-"),
+            col("doc_id") % 9000 + 1000)).otherwise(lit(""))).as("text"))
+    graft.ops.TextCleaning.piiStats(salted, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocab prep: word-frequency table over the whole corpus with a
+    * deterministic top-k tail (term_count desc, word asc) — the aggregate
+    * every tokenizer-training run starts from. */
+  private def qVocabTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.wordCounts(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L)
+      .orderBy(col("term_count").desc, col("word")).limit(50)
+
   /** Multimodal pipeline (rows-only driver check — PNG decode is not
     * DuckDB-expressible): synthesize a deterministic image universe, run
     * decode/meta + feature-extract + resize, and emit per-format
@@ -879,6 +957,10 @@ object Queries {
     "q_embed_ivf_ann" -> (qEmbedIvfAnn _),
     "q_urlfilter_automaton" -> (qUrlfilterAutomaton _),
     "q_indexer_docs" -> (qIndexerDocs _),
+    "q_index_dedup" -> (qIndexDedup _),
+    "q_index_clean" -> (qIndexClean _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_vocab_topk" -> (qVocabTopk _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1369,6 +1451,64 @@ object Queries {
                 'b-1' AS batch_id,
                 CAST(1 AS INTEGER) AS round
          FROM documents ORDER BY doc_key""",
+    "q_index_dedup" ->
+      """WITH docs AS (
+           SELECT 'k' || doc_id AS doc_key,
+                  upper(md5('sig' || (doc_id % 37))) AS signature,
+                  round(sqrt((doc_id % 9 + 1)::DOUBLE), 4) AS boost,
+                  CAST(1700000000000 + doc_id AS BIGINT) AS fetch_time
+           FROM documents),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY signature
+             ORDER BY boost DESC, fetch_time DESC, doc_key) AS rn
+           FROM docs)
+         SELECT doc_key, signature, boost, fetch_time
+         FROM ranked WHERE rn = 1 ORDER BY doc_key""",
+    "q_index_clean" ->
+      """WITH pages AS (
+           SELECT 'k' || doc_id AS key,
+                  'http://h' || (doc_id % 20) || '.example.com/' ||
+                    CASE WHEN doc_id % 5 = 2 THEN 'img' ELSE 'p' END ||
+                    '/' || doc_id || '.html' AS url,
+                  CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END AS status
+           FROM documents)
+         SELECT key AS doc_key, url, 'doc-' || substr(key, 2, 18) AS title
+         FROM pages
+         WHERE NOT (status = 3 OR regexp_full_match(url, '.*/img/.*'))
+         ORDER BY doc_key""",
+    "q_pii_redact" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+                    '.example.com or 10.' || (doc_id % 256) || '.' ||
+                    (doc_id % 100) || '.' || (doc_id % 50) ||
+                    CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+                      ELSE '' END AS t0
+           FROM documents),
+         s1 AS (
+           SELECT doc_id, t0,
+                  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM salted),
+         s2 AS (
+           SELECT *, regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+           FROM s1)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+                CAST(len(regexp_extract_all(t2, '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\b')) AS INTEGER) AS n_phones,
+                regexp_replace(t2, '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM s2 ORDER BY doc_id""",
+    "q_vocab_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    w -> w <> '')) AS word
+           FROM documents)
+         SELECT word, count(*) AS term_count, count(DISTINCT doc_id) AS doc_count
+         FROM toks GROUP BY word HAVING count(*) >= 5
+         ORDER BY term_count DESC, word LIMIT 50""",
     "q_urlfilter_automaton" ->
       """WITH urls AS (
            SELECT CASE CAST(doc_id % 5 AS INT)

@@ -139,6 +139,26 @@ final case class PhashIndexingFilter() extends IndexingFilter {
     try_element_at(col("metadata"), lit(ParserJob.PhashMeta)).cast("long"))
 }
 
+/** One link of the index-cleaning chain (reference extension point
+  * indexer/IndexCleaningFilter.java, run by IndexCleaningFilters; the
+  * CleaningJob mapper ORs the chain over every page row). Spark mapping:
+  * `remove` is a columnar predicate over page rows — true means the page's
+  * documents must be deleted from the index output. */
+trait IndexCleaningFilter extends Serializable {
+  def name: String
+  /** true == remove (reference IndexCleaningFilter.remove(url, page)). */
+  def remove: Column
+}
+
+/** Remove pages whose url matches any of the given regexes — the typical
+  * custom cleaning filter (blocklist sweep over an already-built index). */
+final case class UrlRegexCleaningFilter(patterns: Seq[String])
+    extends IndexCleaningFilter {
+  val name = "url-regex"
+  def remove: Column =
+    patterns.foldLeft(lit(false))((p, re) => p || col("url").rlike(re))
+}
+
 /** The index stage: parsed pages -> a flat documents output table
   * (reference: indexer/IndexingJob.java + the solr/elastic sinks,
   * SURVEY.md A9). The reference ships rows to Solr; here the sink is a
@@ -190,6 +210,57 @@ object IndexerJob {
     val pairs = graft.ops.Dedup.phashNearDupPairs(keyed, "doc_key", "phash",
       maxDist = maxDist, maxBucket = maxBucket)
     graft.ops.Dedup.dropNearDuplicates(docs, pairs, "doc_key")
+  }
+
+  /** The keys whose documents must leave the index (reference
+    * indexer/CleaningJob.java CleanMapper.map:?: status GONE is the
+    * built-in rule; every IndexCleaningFilter in the chain may add more).
+    * `pages` should be the resolved latest-version view — the reference
+    * scans the store, whose row per key IS the current state. */
+  def removeKeys(pages: DataFrame,
+      filters: Seq[IndexCleaningFilter] = Seq.empty): DataFrame = {
+    val pred = filters.foldLeft(col("status") === CrawlStatus.GONE)(
+      (p, f) => p || f.remove)
+    pages.where(pred).select(col("key").as("doc_key")).distinct()
+  }
+
+  /** idxclean / solrclean (reference indexer/CleaningJob.java): delete from
+    * an index output every doc whose page is now GONE or matched by a
+    * cleaning filter. The remove-key set is delta-sized (GONE + blocklist
+    * hits), so at 100 TB the anti-join broadcasts or shuffles only keys —
+    * doc payload columns never move. */
+  def clean(docs: DataFrame, pages: DataFrame,
+      filters: Seq[IndexCleaningFilter] = Seq.empty): DataFrame =
+    docs.join(removeKeys(pages, filters), Seq("doc_key"), "left_anti")
+
+  /** solrdedup (reference indexer/solr/SolrDeleteDuplicates.java:55-82):
+    * among docs sharing a signature digest (different URLs, same content),
+    * keep the single doc with the highest boost; ties fall to the latest
+    * fetch time (the reducer's tstamp rule), then to the smallest doc_key —
+    * a determinism upgrade over the reference, which keeps whichever record
+    * its reducer iteration happens to see first. Returns the surviving
+    * docs; [[duplicateKeys]] is the delete list the reference ships as Solr
+    * delete requests. One shuffle on the digest; groups are content-equal
+    * docs so they stay small (an all-empty-content corpus would make one
+    * hot digest — dedup empty payloads upstream, as the reference's parse
+    * stage effectively does by skipping them). */
+  def deleteDuplicates(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("signature"))
+      .orderBy(col("boost").desc, col("fetch_time").desc, col("doc_key"))
+    docs.withColumn("__dd_rn", row_number().over(w))
+      .where(col("__dd_rn") === 1).drop("__dd_rn")
+  }
+
+  /** The doc keys solrdedup would delete (everything but each digest
+    * group's survivor). */
+  def duplicateKeys(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("signature"))
+      .orderBy(col("boost").desc, col("fetch_time").desc, col("doc_key"))
+    docs.select(col("signature"), col("boost"), col("fetch_time"), col("doc_key"))
+      .withColumn("__dd_rn", row_number().over(w))
+      .where(col("__dd_rn") > 1).select("doc_key")
   }
 
   /** Write the index delta for a batch (the IndexingJob map-only write). */

@@ -393,6 +393,23 @@ object TextAnalysis {
       cjkLang: Option[String] = None): Column =
     greatest(langScores(textCol, profiles, cjkLang, scriptLangs).map(_._2): _*)
 
+  /** Corpus-wide word-frequency table — the tokenizer-training / vocab-prep
+    * aggregate: (word, term_count, doc_count) over lowercase whitespace
+    * tokens. One explode, one shuffle keyed by the word; term counts
+    * partial-aggregate map-side and the single-column distinct (doc_count)
+    * plans as Catalyst's standard two-phase distinct aggregate. `minCount`
+    * prunes the long tail before anything downstream orders or collects.
+    * Callers wanting a top-k vocab add their own deterministic tail
+    * (term_count desc, word asc) — the op itself imposes no global sort. */
+  def wordCounts(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("term_count"),
+        countDistinct(col("__doc")).as("doc_count"))
+      .where(col("term_count") >= minCount)
+
   /** Per-language quality aggregates (cnt, avg tokens/chars, stop ratio). */
   def qualityByLang(docs: DataFrame, textCol: String, langCol: String,
       charsCol: String, stopwords: Seq[String] = Seq("the", "a")): DataFrame =

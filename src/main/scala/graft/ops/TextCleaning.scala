@@ -90,6 +90,49 @@ object TextCleaning {
         coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"))
   }
 
+  /** PII patterns shared by the redaction op and the DuckDB oracle — kept
+    * inside the regex subset common to Java's engine and RE2 (no
+    * lookaround, no backreferences) so the SAME pattern strings run in
+    * both. The application ORDER is part of the contract: emails first
+    * (their host part can contain IP-shaped digit runs), then IPv4, then
+    * phone numbers (evaluated over already-redacted text, so an email's or
+    * IP's digits can never phone-match). */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** Phone shapes: optional +CC, then 555-123-4567 / (555) 123-4567 /
+    * 555.123.4567 — a separator (or parens) after the area code is
+    * REQUIRED, so bare digit runs (ids, timestamps) never match. */
+  val PhonePattern: String =
+    "(?:\\+[0-9]{1,2}[ .-]?)?(?:\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\\b"
+
+  private val PiiChain = Seq(
+    EmailPattern -> "<EMAIL>", Ipv4Pattern -> "<IP>", PhonePattern -> "<PHONE>")
+
+  /** The text with emails, IPv4 addresses and phone numbers replaced by
+    * typed placeholder tokens — the standard pre-training scrub. A pure
+    * codegen'd regexp_replace chain; idempotent (placeholders contain no
+    * digits or @, so a second pass matches nothing). */
+  def redactPii(textCol: Column): Column =
+    PiiChain.foldLeft(textCol) { case (t, (pat, rep)) =>
+      regexp_replace(t, pat, rep) }
+
+  /** Per-document PII hit counts plus the redacted text. Counts are taken
+    * sequentially over the progressively redacted text — exactly what the
+    * replace chain sees, so `n_*` are the true replacement counts, not
+    * overlapping-pattern guesses. */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    docs.select(col(idCol),
+      size(regexp_extract_all(t0, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t1, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t2, lit(PhonePattern), lit(0))).as("n_phones"),
+      regexp_replace(t2, PhonePattern, "<PHONE>").as("redacted"))
+  }
+
   /** C4-style cross-corpus exact span dedup: split every document into
     * consecutive k-word spans (the trailing remainder is a span too), keep
     * each distinct span's FIRST occurrence corpus-wide (min (id, pos) —

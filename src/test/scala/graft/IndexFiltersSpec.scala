@@ -140,6 +140,48 @@ class IndexFiltersSpec extends AnyFunSuite {
     assert(parsed.metadata(ParserJob.PhashMeta) == row.phash.toString)
   }
 
+  test("deleteDuplicates keeps max boost, then latest fetch_time, then min key " +
+      "(SolrDeleteDuplicates.java:55-82)") {
+    import graft.jobs.UrlRegexCleaningFilter
+    def doc(key: String, sig: String, boost: Double, t: Long) =
+      (key, sig, boost, t)
+    val docs = Seq(
+      doc("a1", "s1", 2.0, 10L), // s1: a2 wins on boost
+      doc("a2", "s1", 3.0, 5L),
+      doc("b1", "s2", 1.0, 10L), // s2: boost tie -> b2's later fetch_time wins
+      doc("b2", "s2", 1.0, 20L),
+      doc("c1", "s3", 1.0, 7L),  // s3: full tie -> min doc_key c1 wins
+      doc("c2", "s3", 1.0, 7L),
+      doc("d1", "s4", 0.5, 1L))  // singleton survives
+      .toDF("doc_key", "signature", "boost", "fetch_time")
+    val kept = IndexerJob.deleteDuplicates(docs)
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a2", "b2", "c1", "d1"))
+    val deleted = IndexerJob.duplicateKeys(docs)
+      .collect().map(_.getString(0)).toSet
+    assert(deleted == Set("a1", "b1", "c2"))
+    assert(kept ++ deleted == docs.collect().map(_.getString(0)).toSet)
+  }
+
+  test("clean deletes GONE pages plus cleaning-filter hits (CleaningJob.java CleanMapper)") {
+    import graft.jobs.UrlRegexCleaningFilter
+    val pages = Seq(
+      ("k1", "http://a/p/1", CrawlStatus.FETCHED),
+      ("k2", "http://a/p/2", CrawlStatus.GONE),       // built-in GONE rule
+      ("k3", "http://a/img/3", CrawlStatus.FETCHED),  // blocklist hit
+      ("k4", "http://a/p/4", CrawlStatus.FETCHED))
+      .toDF("key", "url", "status")
+    val docs = pages.select(col("key").as("doc_key"), col("url"))
+    val kept = IndexerJob.clean(docs, pages,
+      Seq(UrlRegexCleaningFilter(Seq(".*/img/.*"))))
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(kept == Set("k1", "k4"))
+    // no filters: only the built-in GONE rule fires
+    val keptDefault = IndexerJob.clean(docs, pages)
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(keptDefault == Set("k1", "k3", "k4"))
+  }
+
   test("TldScoring boosts by the walked suffix, not the last label (TLDScoringFilter)") {
     val tld = TldScoring(CrawlConfig(), boosts = Map("co.uk" -> 2.0f, "uk" -> 5.0f))
     val p = WebPage(url = "http://news.example.co.uk/")

@@ -76,4 +76,56 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("spans_dropped") == 0L))
     assert(out(0).getAs[String]("clean_text") == "one two three four five six")
   }
+
+  test("piiStats: typed placeholders, sequential counts, order contract") {
+    val docs = docsOf(
+      1L -> "mail bob.smith+x@sub.example.co.uk or call 555-867-5309 now",
+      2L -> "host 192.168.0.1 and (415) 555-0199 and +1 650.555.0123",
+      // an email with an IP-shaped digit run INSIDE its host: the email
+      // rule must claim the whole address before the IP rule can carve it
+      // up (an all-numeric host is not an email — no alphabetic TLD — so
+      // root@192.168.10.20 would redact as root@<IP>, by design)
+      3L -> "x@12.34.56.78.example.com logged in from 10.0.0.7",
+      4L -> "no pii here, id 123456789012 stays put")
+    val out = TextCleaning.piiStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") ==
+      "mail <EMAIL> or call <PHONE> now")
+    assert((out(0).getAs[Int]("n_emails"), out(0).getAs[Int]("n_ips"),
+      out(0).getAs[Int]("n_phones")) == ((1, 0, 1)))
+    assert(out(1).getAs[String]("redacted") ==
+      "host <IP> and <PHONE> and <PHONE>")
+    assert((out(1).getAs[Int]("n_ips"), out(1).getAs[Int]("n_phones")) == ((1, 2)))
+    // email-before-IP ordering: root@192.168.10.20 is ONE email, not an IP
+    assert(out(2).getAs[String]("redacted") == "<EMAIL> logged in from <IP>")
+    assert((out(2).getAs[Int]("n_emails"), out(2).getAs[Int]("n_ips")) == ((1, 1)))
+    // bare digit runs don't phone-match (separator after area code required)
+    assert(out(3).getAs[String]("redacted") ==
+      "no pii here, id 123456789012 stays put")
+  }
+
+  test("redactPii is idempotent (placeholders can never re-match)") {
+    import org.apache.spark.sql.functions.col
+    val docs = docsOf(1L -> "a@b.com 10.1.2.3 555-123-4567")
+    val once = docs.select(TextCleaning.redactPii(col("text")).as("t"))
+    val twice = once.select(TextCleaning.redactPii(col("t")).as("t"))
+    assert(once.head.getString(0) == "<EMAIL> <IP> <PHONE>")
+    assert(twice.head.getString(0) == once.head.getString(0))
+  }
+
+  test("wordCounts: term and doc counts with minCount pruning") {
+    import graft.ops.TextAnalysis
+    val docs = docsOf(
+      1L -> "the cat and the dog",
+      2L -> "the dog runs",
+      3L -> "a dog")
+    val out = TextAnalysis.wordCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("the") == ((3L, 2L)))   // 3 occurrences across 2 docs
+    assert(out("dog") == ((3L, 3L)))
+    assert(out("cat") == ((1L, 1L)))
+    val pruned = TextAnalysis.wordCounts(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("the", "dog"))
+  }
 }
