@@ -839,6 +839,53 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text", minCount = 5L)
       .orderBy(col("term_count").desc, col("word")).limit(50)
 
+  /** C4-style line cleaning: multi-line documents synthesized with a mix
+    * of good sentences, too-short lines, unterminated lines and
+    * boilerplate ("enable javascript") run the no-shuffle line filter;
+    * DuckDB replays the identical lambda pipeline over the same lines. */
+  private def qLineFilter(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("Sentence one for doc "), col("doc_id"), lit("."), lit("\n"),
+        lit("short line"), lit("\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("Enable javascript to continue reading this."))
+          .otherwise(lit("A good second sentence appears here.")), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("No terminal punctuation here"))
+          .otherwise(lit("Has a question, does it not?"))).as("text"))
+    graft.ops.TextCleaning.lineFilter(raw, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** WARC interchange (graft.warc): pages encode into WARC 1.0 blobs and
+    * decode back INSIDE a distributed mapPartitions — one encode∘decode
+    * identity per partition — then the byte lengths and md5s of the
+    * surviving payloads must equal DuckDB's view of the source text. Any
+    * framing bug (length accounting, CRLF handling, header parsing) breaks
+    * the hash. */
+  private def qWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents").select(
+        concat(lit("http://h"), col("doc_id") % 20, lit(".example.com/p/"),
+          col("doc_id"), lit(".html")).as("url"),
+        col("text"))
+      .as[(String, String)]
+      .repartition(8)
+      .mapPartitions { it =>
+        val recs = it.map { case (url, text) =>
+          graft.warc.WarcRecord("response", url, "2026-01-01T00:00:00Z",
+            "urn:uuid:" + graft.url.UrlUtil.uuid3(url), "text/plain",
+            text.getBytes("UTF-8"))
+        }
+        val blob = graft.warc.WarcCodec.encode(recs)
+        graft.warc.WarcCodec.decode(blob).iterator.map(r => (r.targetUri, r.payload))
+      }
+    rows.toDF("url", "payload")
+      .select(col("url"), length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("url"))
+  }
+
   /** Multimodal pipeline (rows-only driver check — PNG decode is not
     * DuckDB-expressible): synthesize a deterministic image universe, run
     * decode/meta + feature-extract + resize, and emit per-format
@@ -961,6 +1008,8 @@ object Queries {
     "q_index_clean" -> (qIndexClean _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_warc_roundtrip" -> (qWarcRoundtrip _),
+    "q_line_filter" -> (qLineFilter _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1509,6 +1558,43 @@ object Queries {
          SELECT word, count(*) AS term_count, count(DISTINCT doc_id) AS doc_count
          FROM toks GROUP BY word HAVING count(*) >= 5
          ORDER BY term_count DESC, word LIMIT 50""",
+    "q_warc_roundtrip" ->
+      """SELECT 'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id || '.html' AS url,
+                CAST(strlen(text) AS INTEGER) AS n_bytes,
+                md5(text) AS payload_md5
+         FROM documents ORDER BY url""",
+    "q_line_filter" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  'Sentence one for doc ' || doc_id || '.' || chr(10) ||
+                  'short line' || chr(10) ||
+                  CASE WHEN doc_id % 4 = 0
+                    THEN 'Enable javascript to continue reading this.'
+                    ELSE 'A good second sentence appears here.' END || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN 'No terminal punctuation here'
+                    ELSE 'Has a question, does it not?' END AS t
+           FROM documents),
+         ls AS (
+           SELECT doc_id,
+                  list_filter(list_transform(string_split(t, chr(10)),
+                    l -> trim(l)), l -> l <> '') AS lines
+           FROM raw),
+         k AS (
+           SELECT doc_id, lines,
+                  list_filter(lines, l ->
+                    regexp_matches(l, '[.!?]["'']?$')
+                    AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                      w -> w <> '')) >= 3
+                    AND NOT (contains(lower(l), 'javascript')
+                      OR contains(lower(l), 'lorem ipsum')
+                      OR contains(lower(l), 'cookie policy'))) AS kept
+           FROM ls)
+         SELECT doc_id,
+                array_to_string(kept, chr(10)) AS clean_text,
+                CAST(len(kept) AS INTEGER) AS lines_kept,
+                CAST(len(lines) - len(kept) AS INTEGER) AS lines_dropped
+         FROM k WHERE len(kept) >= 1 ORDER BY doc_id""",
     "q_urlfilter_automaton" ->
       """WITH urls AS (
            SELECT CASE CAST(doc_id % 5 AS INT)

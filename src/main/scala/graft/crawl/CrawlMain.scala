@@ -27,7 +27,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|linkdb|compact|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|warcexport|warcimport|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -97,6 +97,20 @@ object CrawlMain {
         val t = new graft.table.SnapshotTable(table)
         graft.jobs.HostDbJob.hostStats(spark, t.currentView(spark).drop("snapshot_id"))
           .show(100, truncate = false)
+      case "hostinject" => // reference `bin/nutch hostinject` (HostInjectorJob)
+        arg(args, "hostsfile") match {
+          case Some(p) =>
+            import spark.implicits._
+            graft.jobs.HostDbJob.injectHosts(spark, spark.read.textFile(p))
+              .write.mode("overwrite").parquet(s"$table-hostdb")
+          case None =>
+            System.err.println("usage: hostinject --hostsfile <file> [--table d]")
+            sys.exit(2)
+        }
+      case "readhostdb" => // reference `bin/nutch readhostdb` (HostDbReader)
+        graft.jobs.HostDbJob.readHostDb(
+            spark.read.parquet(s"$table-hostdb"), arg(args, "key"))
+          .show(100, truncate = false)
       case "linkdb" =>
         import spark.implicits._
         val t = new graft.table.SnapshotTable(table)
@@ -108,6 +122,32 @@ object CrawlMain {
         }
       case "compact" =>
         new graft.table.SnapshotTable(table).compact(spark, round)
+      case "warcexport" => // fetched pages -> WARC 1.0 archive files
+        arg(args, "out") match {
+          case Some(out) =>
+            val t = new graft.table.SnapshotTable(table)
+            val fetched = t.currentView(spark).drop("snapshot_id")
+              .where(org.apache.spark.sql.functions.col("status") ===
+                graft.model.CrawlStatus.FETCHED)
+            val n = graft.warc.WarcIO.write(fetched, out)
+            println(s"warcexport: $n records -> $out")
+          case None =>
+            System.err.println("usage: warcexport --table d --out <dir>")
+            sys.exit(2)
+        }
+      case "warcimport" => // third-party WARC dump -> fetched frontier rows
+        arg(args, "in") match {
+          case Some(in) =>
+            import spark.implicits._
+            val crawl = crawlOf()
+            val pages = graft.warc.WarcIO.toPages(
+              graft.warc.WarcIO.read(spark, in), batchId = s"warc-$round", round = round)
+            crawl.table.append(pages.toDF(), round, "fetch")
+            println(s"warcimport: ${pages.count()} pages <- $in")
+          case None =>
+            System.err.println("usage: warcimport --table d --in <dir>")
+            sys.exit(2)
+        }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }

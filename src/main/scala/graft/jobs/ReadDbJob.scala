@@ -73,4 +73,54 @@ object HostDbJob {
         max(col("score")).as("max_score"))
       .orderBy(col("host"))
   }
+
+  /** hostinject (reference host/HostInjectorJob.java UrlMapper:~47-89):
+    * seed lines `host[\tk=v]*` become host rows keyed by the REVERSED host
+    * name (storage locality — sibling hosts sort together). A line's first
+    * field may be a bare host or a full url (the reference prefixes
+    * `http://` when no scheme is present); `k=v` pairs land in the
+    * metadata map and fields without `=` are skipped (:56-67). Blank lines
+    * are dropped. Duplicate hosts collapse to one row; conflicting
+    * metadata values resolve to the lexicographic max per key — the
+    * reference's upsert order is task-arrival nondeterminism, ours is a
+    * stated deterministic rule. */
+  def injectHosts(spark: SparkSession,
+      lines: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import spark.implicits._
+    lines.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        val splits = line.split("\t")
+        val raw = splits(0).trim
+        val host = UrlUtil.getHost(if (raw.contains("://")) raw else s"http://$raw")
+        if (host == null || host.isEmpty) None
+        else {
+          val meta = splits.iterator.drop(1).flatMap { kv =>
+            val i = kv.indexOf('=')
+            if (i < 0) None
+            else Some(kv.substring(0, i).trim -> kv.substring(i + 1).trim)
+          }.toMap
+          Some(UrlUtil.reverseHost(host) -> meta)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val merged = rows.flatMap(_._2).toSeq.groupBy(_._1)
+          .map { case (mk, vs) => mk -> vs.map(_._2).max }
+        (k, merged)
+      }
+      .toDF("host_key", "metadata")
+  }
+
+  /** readhostdb (reference host/HostDbReader.java:10-35): dump the host
+    * table — every row, or one key — with the display name unreversed the
+    * way the reference prints it. */
+  def readHostDb(hosts: DataFrame, key: Option[String] = None): DataFrame = {
+    val base = key.fold(hosts)(k => hosts.where(col("host_key") === k))
+    // unreverse == reverse the dot-separated labels again (an involution);
+    // declarative array ops, not a UDF, so the projection stays codegen'd
+    val unrev = array_join(reverse(split(col("host_key"), "\\.")), ".")
+    base.withColumn("host", unrev)
+      .select((Seq(col("host")) ++ base.columns.map(col)): _*)
+      .orderBy(col("host_key"))
+  }
 }

@@ -133,6 +133,40 @@ object TextCleaning {
       regexp_replace(t2, PhonePattern, "<PHONE>").as("redacted"))
   }
 
+  /** C4-style line-level cleaning: drop lines that don't end in terminal
+    * punctuation (. ! ? or a closing quote after one), have fewer than
+    * `minWords` whitespace words, or contain a blocklisted phrase
+    * (case-insensitive substring — C4 uses "javascript", cookie/policy
+    * boilerplate). Documents whose surviving lines number fewer than
+    * `minLines` are dropped entirely (the C4 three-sentence floor).
+    *
+    * Pure array-lambda expressions (split / filter / array_join) — stays
+    * in whole-stage codegen, no explode, no shuffle at all: a 100 TB scan
+    * shape. Returns (id, clean_text, lines_kept, lines_dropped).
+    */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minLines: Int = 1,
+      blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "cookie policy"))
+      : DataFrame = {
+    val id = col(idCol)
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= "")
+    def keepLine(l: Column): Column = {
+      val terminal = l.rlike("[.!?][\"']?$")
+      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+      val blocked = blocklist.map(b => lower(l).contains(b))
+        .foldLeft(lit(false))(_ || _)
+      terminal && words >= minWords && !blocked
+    }
+    docs.select(id, lines.as("ls"))
+      .select(id, filter(col("ls"), keepLine _).as("kept"), size(col("ls")).as("n"))
+      .where(size(col("kept")) >= minLines)
+      .select(id,
+        array_join(col("kept"), "\n").as("clean_text"),
+        size(col("kept")).as("lines_kept"),
+        (col("n") - size(col("kept"))).as("lines_dropped"))
+  }
+
   /** C4-style cross-corpus exact span dedup: split every document into
     * consecutive k-word spans (the trailing remainder is a span too), keep
     * each distinct span's FIRST occurrence corpus-wide (min (id, pos) —

@@ -1,0 +1,113 @@
+package graft.warc
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded WARC record as a flat row (the read-side schema). */
+final case class WarcRow(
+    url: String,
+    warc_type: String,
+    warc_date: String,
+    record_id: String,
+    content_type: String,
+    payload: Array[Byte])
+
+/** WARC export/ingest over Spark.
+  *
+  * Write side: one `part-NNNNN.warc` file per partition, produced inside
+  * `mapPartitions` — the standard shape for a custom archive sink. File
+  * names and contents are fully deterministic (partition id names the
+  * file; record ids derive from the url via uuid3; dates from fetchTime),
+  * so a task retry rewrites the identical bytes — idempotent by
+  * construction, no commit protocol needed.
+  *
+  * Read side: the built-in `binaryFile` source loads whole files (WARC is
+  * delimiter-free and therefore not arbitrarily splittable — the
+  * large-scale convention is many medium files, e.g. ~1 GB, which is
+  * exactly what one-file-per-partition produces; parallelism = file
+  * count), then the codec explodes each file into records. Projection
+  * after read prunes columns, and binaryFile pushes down path filters.
+  */
+object WarcIO {
+
+  /** Epoch ms -> `YYYY-MM-DDThh:mm:ssZ` (second precision, per spec). */
+  def warcDate(epochMs: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(epochMs, 1000L)).toString
+
+  /** Pages (url, content, contentType, fetchTime) -> WARC response
+    * records. Null payloads (unfetched rows) are skipped, matching what a
+    * crawler archives. */
+  def toRecords(rows: Iterator[(String, Array[Byte], String, Long)]): Iterator[WarcRecord] =
+    rows.collect { case (url, content, contentType, fetchTime) if content != null =>
+      WarcRecord(
+        warcType = "response",
+        targetUri = url,
+        date = warcDate(fetchTime),
+        recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url),
+        contentType = if (contentType == null || contentType.isEmpty)
+          "application/octet-stream" else contentType,
+        payload = content)
+    }
+
+  /** Export pages to `dir` as WARC, one file per partition; returns the
+    * number of records written. */
+  def write(pages: DataFrame, dir: String): Long = {
+    import pages.sparkSession.implicits._
+    Files.createDirectories(Paths.get(dir))
+    pages
+      .select(col("url"), col("content"), col("contentType"), col("fetchTime"))
+      .as[(String, Array[Byte], String, Long)]
+      .mapPartitions { rows =>
+        val part = TaskContext.getPartitionId()
+        val bytes = WarcCodec.encode(toRecords(rows))
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val f = Paths.get(dir, f"part-$part%05d.warc")
+          Files.write(f, bytes, StandardOpenOption.CREATE,
+            StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+          Iterator.single(WarcCodec.decode(bytes).size.toLong)
+        }
+      }
+      .collect().sum // ≤ one row per partition
+  }
+
+  /** WARC response records -> frontier page rows (the "switch engines"
+    * ingest path: a third-party WARC dump becomes fetched pages a graft
+    * crawl can parse / index / update from). Keys derive from the url
+    * (uuid3); the record date becomes fetchTime; a FETCH marker stamps the
+    * given batch so the parse stage's mark filter picks the rows up. */
+  def toPages(records: Dataset[WarcRow],
+      batchId: String = "warc-import", round: Int = 1): Dataset[graft.model.WebPage] = {
+    import records.sparkSession.implicits._
+    records.filter(_.warc_type == "response").map { r =>
+      graft.model.WebPage(
+        key = graft.url.UrlUtil.uuid3(r.url),
+        url = r.url,
+        status = graft.model.CrawlStatus.FETCHED,
+        fetchTime =
+          try java.time.Instant.parse(r.warc_date).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException => 0L },
+        content = r.payload,
+        contentType = r.content_type,
+        markers = Map(graft.model.Marks.FETCH -> batchId),
+        batchId = batchId,
+        round = round)
+    }
+  }
+
+  /** Ingest a directory of `.warc` files as a Dataset of records. */
+  def read(spark: SparkSession, dir: String): Dataset[WarcRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(bytes => WarcCodec.decode(bytes).map(r =>
+        WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
+          r.payload)))
+  }
+}

@@ -90,6 +90,29 @@ class JobsSpec extends AnyFunSuite {
         "fetch_time", "signature", "boost", "batch_id", "round"))
   }
 
+  test("hostinject + readhostdb: reversed keys, k=v metadata, deterministic merge") {
+    val lines = spark.createDataset(Seq(
+      "www.example.com\tcrawl.budget=50\tnote=primary",
+      "http://news.example.co.uk/some/path",   // full url: host extracted
+      "   ",                                   // blank: skipped
+      "www.example.com\tnote=secondary",       // dup host: lexicographic-max value wins
+      "malformed-no-meta\tjunkwithoutequals")) // meta without '=': skipped
+    val hosts = graft.jobs.HostDbJob.injectHosts(spark, lines)
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    assert(hosts.keySet == Set("com.example.www", "uk.co.example.news", "malformed-no-meta"))
+    assert(hosts("com.example.www")("crawl.budget") == "50")
+    // "secondary" > "primary" lexicographically -> deterministic winner
+    assert(hosts("com.example.www")("note") == "secondary")
+    assert(hosts("malformed-no-meta").isEmpty)
+
+    val df = graft.jobs.HostDbJob.injectHosts(spark, lines)
+    val dump = graft.jobs.HostDbJob.readHostDb(df)
+      .select("host", "host_key").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dump.contains(("www.example.com", "com.example.www")))
+    val one = graft.jobs.HostDbJob.readHostDb(df, Some("uk.co.example.news")).collect()
+    assert(one.length == 1 && one.head.getAs[String]("host") == "news.example.co.uk")
+  }
+
   test("seed-file scan (A1): inject from a text file with metadata") {
     val f = java.nio.file.Files.createTempFile("seeds", ".txt")
     java.nio.file.Files.writeString(f,

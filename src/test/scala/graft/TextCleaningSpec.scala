@@ -77,6 +77,30 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("clean_text") == "one two three four five six")
   }
 
+  test("lineFilter: C4 rules — terminal punctuation, min words, blocklist, doc floor") {
+    val docs = docsOf(
+      1L -> "This is a fine sentence.\nno period here\nok?\n\nEnable JavaScript now please.\nAnother keeper, yes indeed!",
+      2L -> "only\nshort\nlines",
+      3L -> "  Trimmed but good enough.  \nBad")
+    val out = TextCleaning.lineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 2 loses every line -> dropped entirely by the minLines floor
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val r1 = out(0)
+    // kept: sentence 1 (terminal + 5 words) and the last line; dropped:
+    // "no period here" (no terminal), "ok?" (1 word), blank (pre-filtered,
+    // not counted), "Enable JavaScript..." (blocklist, case-insensitive)
+    assert(r1.getAs[String]("clean_text") ==
+      "This is a fine sentence.\nAnother keeper, yes indeed!")
+    assert(r1.getAs[Int]("lines_kept") == 2)
+    assert(r1.getAs[Int]("lines_dropped") == 3)
+    val r3 = out(1)
+    assert(r3.getAs[String]("clean_text") == "Trimmed but good enough.")
+    // minLines raises the doc floor
+    assert(TextCleaning.lineFilter(docs, "doc_id", "text", minLines = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("piiStats: typed placeholders, sequential counts, order contract") {
     val docs = docsOf(
       1L -> "mail bob.smith+x@sub.example.co.uk or call 555-867-5309 now",

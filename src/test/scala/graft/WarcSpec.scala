@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.warc.{WarcCodec, WarcIO, WarcRecord}
+
+/** The from-scratch WARC 1.0 codec and its Spark source/sink plumbing. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def rec(url: String, payload: Array[Byte],
+      ct: String = "application/octet-stream") =
+    WarcRecord("response", url, "2026-01-01T00:00:00Z",
+      s"urn:uuid:${graft.url.UrlUtil.uuid3(url)}", ct, payload)
+
+  test("roundtrip survives delimiter-looking payloads (length-framed, not delimited)") {
+    val nasty = Seq(
+      rec("http://a/1", "plain".getBytes("UTF-8")),
+      // payload containing CRLFs, a fake record header, and a blank line
+      rec("http://a/2", "\r\n\r\nWARC/1.0\r\nContent-Length: 999\r\n\r\nx".getBytes("UTF-8")),
+      rec("http://a/3", Array[Byte](0, -1, 13, 10, 13, 10, 127, 0)),
+      rec("http://a/4", Array.emptyByteArray),
+      // UTF-8 multi-byte in url-adjacent headers and payload
+      rec("http://a/%C3%A9", "héllo wörld — ünïcode".getBytes("UTF-8"), "text/plain"))
+    val decoded = WarcCodec.decode(WarcCodec.encode(nasty.iterator))
+    assert(decoded.size == nasty.size)
+    nasty.zip(decoded).foreach { case (in, out) =>
+      assert(out.targetUri == in.targetUri)
+      assert(out.warcType == "response")
+      assert(out.recordId == in.recordId)
+      assert(out.contentType == in.contentType)
+      assert(out.payload.sameElements(in.payload))
+    }
+  }
+
+  test("decode is strict and bounded on malformed input") {
+    val good = WarcCodec.encode(Iterator(rec("http://a/1", "abcdef".getBytes)))
+    // truncated payload: declared length runs past the end
+    val truncated = good.dropRight(10)
+    val e1 = intercept[IllegalArgumentException](WarcCodec.decode(truncated))
+    assert(e1.getMessage.contains("corrupt WARC"))
+    // bad magic
+    val e2 = intercept[IllegalArgumentException](
+      WarcCodec.decode("HTTP/1.1 200 OK\r\n\r\n".getBytes))
+    assert(e2.getMessage.contains("bad magic"))
+    // unterminated header block (no blank line before EOF)
+    val e3 = intercept[IllegalArgumentException](
+      WarcCodec.decode("WARC/1.0\r\nContent-Length: 3\r\n".getBytes))
+    assert(e3.getMessage.contains("unterminated"))
+  }
+
+  test("random-payload roundtrip (100 seeded cases incl. CRLF-heavy bytes)") {
+    val rnd = new scala.util.Random(42)
+    val recs = (0 until 100).map { i =>
+      val n = rnd.nextInt(200)
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      // salt with CRLF pairs to stress framing
+      (0 until n / 10).foreach { _ =>
+        val p = rnd.nextInt(math.max(1, n - 1))
+        payload(p) = 13; payload(math.min(n - 1, p + 1)) = 10
+      }
+      rec(s"http://r/$i", payload)
+    }
+    val decoded = WarcCodec.decode(WarcCodec.encode(recs.iterator))
+    assert(decoded.size == 100)
+    recs.zip(decoded).foreach { case (in, out) =>
+      assert(out.payload.sameElements(in.payload), in.targetUri)
+    }
+  }
+
+  test("WarcIO writes one file per non-empty partition and reads them back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    val pages = (0 until 57).map(i =>
+        (s"http://h${i % 3}.example.com/p/$i", s"body-$i".getBytes("UTF-8"),
+          "text/plain", 1700000000000L + i * 1000))
+      .toDF("url", "content", "contentType", "fetchTime")
+      .repartition(4)
+    val n = WarcIO.write(pages, dir)
+    assert(n == 57)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.forall(_.matches("part-\\d{5}\\.warc")))
+    assert(files.length <= 4 && files.nonEmpty)
+    val back = WarcIO.read(spark, dir)
+    assert(back.count() == 57)
+    val row = back.filter(col("url") === "http://h1.example.com/p/7")
+      .collect().head
+    assert(new String(row.payload, "UTF-8") == "body-7")
+    assert(row.warc_type == "response")
+    assert(row.warc_date == "2023-11-14T22:13:27Z")
+    assert(row.record_id == "urn:uuid:" +
+      graft.url.UrlUtil.uuid3("http://h1.example.com/p/7"))
+    // unfetched rows (null content) are skipped, not crashed on
+    val withNulls = (Seq(("http://a/1", "x".getBytes("UTF-8"), "text/plain", 0L)) :+
+        (("http://a/2", null.asInstanceOf[Array[Byte]], "text/plain", 0L)))
+      .toDF("url", "content", "contentType", "fetchTime")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-warc2").toString
+    assert(WarcIO.write(withNulls, dir2) == 1)
+  }
+
+  test("toPages turns WARC responses into fetched frontier rows (warcimport)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toString
+    val pages = Seq(
+      ("http://h0.example.com/p/1", "alpha".getBytes("UTF-8"), "text/plain",
+        1700000000000L))
+      .toDF("url", "content", "contentType", "fetchTime")
+    WarcIO.write(pages, dir)
+    val imported = WarcIO.toPages(WarcIO.read(spark, dir), batchId = "b-7").collect()
+    assert(imported.length == 1)
+    val p = imported.head
+    assert(p.url == "http://h0.example.com/p/1")
+    assert(p.key == graft.url.UrlUtil.uuid3(p.url))
+    assert(p.status == graft.model.CrawlStatus.FETCHED)
+    assert(p.fetchTime == 1700000000000L) // second precision survives
+    assert(new String(p.content, "UTF-8") == "alpha")
+    assert(p.markers(graft.model.Marks.FETCH) == "b-7")
+  }
+}
