@@ -100,6 +100,46 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcIO.write(withNulls, dir2) == 1)
   }
 
+  test("crawl -> warcexport -> warcimport roundtrip preserves the fetched corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.crawl.{Crawl, CrawlConfig}
+    import graft.images.ImageSynth
+    import graft.site.PhashOutlinks
+    val nPages = 60L; val nHosts = 4
+    val dir = SparkTestBase.tmpDir("warc-crawl")
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 4,
+      fetcherServerDelayMs = 0, topN = 30)
+    val crawl = new Crawl(spark, dir,
+      ImageSynth.imagesDf(spark, nPages, nHosts, partitions = 4), conf,
+      PhashOutlinks(nPages, nHosts, 3))
+    crawl.run(2, (0 until 4).map(i => ImageSynth.urlOf(i.toLong, nHosts)))
+
+    val fetched = crawl.table.currentView(spark).drop("snapshot_id")
+      .where(col("status") === graft.model.CrawlStatus.FETCHED)
+    // refetched pages carry one FETCHED version row per round (distinct
+    // version keys, same url) — the archive gets one record per ROW; the
+    // per-url payload hash is what must survive the roundtrip
+    val nRows = fetched.count()
+    val want = fetched.select(col("url"), md5(col("content")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(want.nonEmpty && nRows >= want.size)
+
+    val warcDir = SparkTestBase.tmpDir("warc-export")
+    val n = WarcIO.write(fetched, warcDir)
+    assert(n == nRows)
+
+    val imported = WarcIO.toPages(WarcIO.read(spark, warcDir)).toDF()
+      .select(col("url"), md5(col("content")).as("h"), col("key"))
+      .collect()
+    assert(imported.length == nRows)
+    assert(imported.map(_.getString(0)).toSet == want.keySet)
+    imported.foreach { r =>
+      assert(want(r.getString(0)) == r.getString(1), r.getString(0))
+      assert(r.getString(2) == graft.url.UrlUtil.uuid3(r.getString(0)))
+    }
+  }
+
   test("toPages turns WARC responses into fetched frontier rows (warcimport)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toString
