@@ -101,13 +101,44 @@ object WarcIO {
   /** Ingest a directory of `.warc` files as a Dataset of records. */
   def read(spark: SparkSession, dir: String): Dataset[WarcRow] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    toRows(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc")
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(bytes => WarcCodec.decode(bytes).map(r =>
-        WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
-          r.payload)))
+      .select(col("content")).as[Array[Byte]])
+  }
+
+  /** The binaryFile source's fixed schema (a streaming read must declare
+    * it — file streams don't infer). */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** Continuous WARC ingest: watch `dir` as a Structured Streaming file
+    * source — every `.warc` file dropped in becomes one input row whose
+    * records explode downstream (binaryFile is a standard FileFormat, so
+    * the file stream tracks processed files in its checkpoint; an archive
+    * is ingested exactly once per query). Compose with
+    * [[toPages]]-shaped maps and `StreamingDedup.dropSeen` keyed by the
+    * page key for exactly-once pages across re-delivered archives. */
+  def readStream(spark: SparkSession, dir: String): Dataset[WarcRow] = {
+    import spark.implicits._
+    toRows(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.warc")
+      .load(dir)
+      .select(col("content")).as[Array[Byte]])
+  }
+
+  private def toRows(files: Dataset[Array[Byte]]): Dataset[WarcRow] = {
+    import files.sparkSession.implicits._
+    files.flatMap(bytes => WarcCodec.decode(bytes).map(r =>
+      WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
+        r.payload)))
   }
 }

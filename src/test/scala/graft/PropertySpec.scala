@@ -196,6 +196,26 @@ object GraftProperties extends Properties("graft") {
         fast == slow
     }
 
+  property("warc codec roundtrips arbitrary payload bytes and header values") =
+    forAll(Gen.listOf(for {
+      n <- Gen.choose(0, 300)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      host <- hostGen
+      path <- word(1, 10)
+      extraV <- word(0, 12)
+    } yield graft.warc.WarcRecord("response", s"http://$host/$path",
+        "2026-01-01T00:00:00Z", "urn:uuid:" + UrlUtil.uuid3(path),
+        "application/octet-stream", bytes.toArray,
+        headers = if (extraV.isEmpty) Map.empty else Map("X-Extra" -> extraV)))) { recs =>
+      val out = graft.warc.WarcCodec.decode(
+        graft.warc.WarcCodec.encode(recs.iterator))
+      out.size == recs.size && out.zip(recs).forall { case (o, i) =>
+        o.targetUri == i.targetUri && o.payload.sameElements(i.payload) &&
+          (i.headers.isEmpty ||
+            o.headers.get("x-extra").contains(i.headers("X-Extra")))
+      }
+    }
+
   property("politeness: per-queue gaps always >= delay") =
     forAll(Gen.listOfN(40, Gen.choose(0, 5)), Gen.choose(1L, 50L)) { (hostIdx, delay) =>
       val items = hostIdx.zipWithIndex.map { case (hi, i) => (s"http://h$hi", i) }

@@ -140,6 +140,30 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("readStream ingests archives dropped into a watched directory") {
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.tmpDir("warc-stream")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      WarcCodec.encode(Iterator(rec("http://s/1", "one".getBytes("UTF-8")))))
+    val q = WarcIO.readStream(spark, dir)
+      .select(col("url"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def urls() = spark.sql("select url from warc_stream")
+        .collect().map(_.getString(0)).toSet
+      assert(urls() == Set("http://s/1"))
+      // drop a second archive into the watched dir mid-query
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc"),
+        WarcCodec.encode(Iterator(
+          rec("http://s/2", "two".getBytes("UTF-8")),
+          rec("http://s/3", "three".getBytes("UTF-8")))))
+      q.processAllAvailable()
+      assert(urls() == Set("http://s/1", "http://s/2", "http://s/3"))
+    } finally q.stop()
+  }
+
   test("toPages turns WARC responses into fetched frontier rows (warcimport)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toString
