@@ -857,6 +857,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashing-trick quality classifier (the fastText-style corpus filter):
+    * tokens hash into 512 buckets, the md5-derived weight table broadcasts,
+    * and each doc's keep/drop falls out of the mean bucket weight. The
+    * output contract is integer-exact — sum of milli-weights, recovered by
+    * rounding score·n·1000 — so the DuckDB comparison never rides
+    * float-summation order. */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val dim = 512
+    val w = graft.ops.TextAnalysis.syntheticWeights(s, dim)
+    graft.ops.TextAnalysis
+      .hashedBowScore(t(s, dir, "documents"), "doc_id", "text", w, dim)
+      .select(col("doc_id"),
+        round(col("score") * col("n_tokens") * 1000.0).cast("bigint").as("sum_milli"),
+        col("n_tokens"),
+        (round(col("score") * col("n_tokens") * 1000.0) > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WARC interchange (graft.warc): pages encode into WARC 1.0 blobs and
     * decode back INSIDE a distributed mapPartitions — one encode∘decode
     * identity per partition — then the byte lengths and md5s of the
@@ -1010,6 +1028,7 @@ object Queries {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_line_filter" -> (qLineFilter _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1595,6 +1614,25 @@ object Queries {
                 CAST(len(kept) AS INTEGER) AS lines_kept,
                 CAST(len(lines) - len(kept) AS INTEGER) AS lines_dropped
          FROM k WHERE len(kept) >= 1 ORDER BY doc_id""",
+    "q_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    w -> w <> '')) AS word
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 10))::BIGINT % 512 AS bucket
+           FROM toks),
+         w AS (
+           SELECT doc_id,
+                  (('0x' || substr(md5('w' || bucket), 1, 10))::BIGINT % 1000) - 500 AS milli
+           FROM b)
+         SELECT doc_id,
+                CAST(sum(milli) AS BIGINT) AS sum_milli,
+                count(*) AS n_tokens,
+                sum(milli) > 0 AS keep
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     "q_urlfilter_automaton" ->
       """WITH urls AS (
            SELECT CASE CAST(doc_id % 5 AS INT)

@@ -410,6 +410,37 @@ object TextAnalysis {
         countDistinct(col("__doc")).as("doc_count"))
       .where(col("term_count") >= minCount)
 
+  /** Linear quality classifier over the hashing trick (the fastText-style
+    * scoring shape every "educational value" / "quality" corpus filter
+    * runs at scale): each token hashes into one of `dim` buckets, the doc
+    * score is the mean bucket weight, and a threshold on the score is the
+    * keep/drop decision. `weights` is the trained model as a (bucket,
+    * weight) table — tiny (dim rows), so Catalyst broadcasts it and the
+    * per-doc aggregation partial-aggregates map-side; documents with no
+    * tokens score null. Text never rides the shuffle — only (id, bucket).
+    */
+  def hashedBowScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .withColumn("bucket", pmod(Dedup.hash40(col("word")), lit(dim.toLong)))
+      .join(org.apache.spark.sql.functions.broadcast(weights), Seq("bucket"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(avg(coalesce(col("weight"), lit(0.0))).as("score"),
+        count(lit(1)).as("n_tokens"))
+
+  /** A deterministic md5-derived weight table in [-0.5, 0.5) — the
+    * stand-in "model" for tests and oracles (a real model replaces it row
+    * for row; the scoring plan is identical). */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until dim).map(_.toLong).toDF("bucket")
+      .withColumn("weight",
+        pmod(Dedup.hash40(concat(lit("w"), col("bucket"))), lit(1000L))
+          .cast("double") / 1000.0 - 0.5)
+  }
+
   /** Per-language quality aggregates (cnt, avg tokens/chars, stop ratio). */
   def qualityByLang(docs: DataFrame, textCol: String, langCol: String,
       charsCol: String, stopwords: Seq[String] = Seq("the", "a")): DataFrame =

@@ -137,6 +137,28 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(twice.head.getString(0) == once.head.getString(0))
   }
 
+  test("hashedBowScore: bucket hashing, broadcast weights, unweighted buckets count as 0") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = 64
+    def bucketOf(w: String): Long = spark.range(1)
+      .select(pmod(Dedup.hash40(lit(w)), lit(dim.toLong))).head.getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad) // distinct at dim=64 for these two words
+    val weights = Seq((bGood, 0.6), (bBad, -0.3)).toDF("bucket", "weight")
+    val docs = docsOf(
+      1L -> "good good bad",   // (0.6 + 0.6 - 0.3)/3 = 0.3
+      2L -> "bad unknownword", // (-0.3 + 0.0)/2 = -0.15 (missing weight -> 0)
+      3L -> "   ")             // no tokens -> absent
+    val out = TextAnalysis.hashedBowScore(docs, "doc_id", "text", weights, dim)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L)._1 - 0.3) < 1e-12 && out(1L)._2 == 3L)
+    assert(math.abs(out(2L)._1 + 0.15) < 1e-12 && out(2L)._2 == 2L)
+  }
+
   test("wordCounts: term and doc counts with minCount pruning") {
     import graft.ops.TextAnalysis
     val docs = docsOf(
