@@ -248,8 +248,13 @@ object IndexerJob {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("signature"))
       .orderBy(col("boost").desc, col("fetch_time").desc, col("doc_key"))
-    docs.withColumn("__dd_rn", row_number().over(w))
+    // null-signature docs (no digest computed) are NOT content-equal to
+    // each other — they pass through rather than collapsing into one
+    // window group
+    val sigged = docs.where(col("signature").isNotNull)
+    sigged.withColumn("__dd_rn", row_number().over(w))
       .where(col("__dd_rn") === 1).drop("__dd_rn")
+      .unionByName(docs.where(col("signature").isNull))
   }
 
   /** The doc keys solrdedup would delete (everything but each digest
@@ -259,6 +264,7 @@ object IndexerJob {
     val w = Window.partitionBy(col("signature"))
       .orderBy(col("boost").desc, col("fetch_time").desc, col("doc_key"))
     docs.select(col("signature"), col("boost"), col("fetch_time"), col("doc_key"))
+      .where(col("signature").isNotNull) // no digest -> never a duplicate
       .withColumn("__dd_rn", row_number().over(w))
       .where(col("__dd_rn") > 1).select("doc_key")
   }

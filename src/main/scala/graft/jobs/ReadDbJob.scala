@@ -91,7 +91,12 @@ object HostDbJob {
       .flatMap { line =>
         val splits = line.split("\t")
         val raw = splits(0).trim
-        val host = UrlUtil.getHost(if (raw.contains("://")) raw else s"http://$raw")
+        // strict parse: a line whose first field yields no real host (the
+        // reference's MalformedURLException case) is skipped, not turned
+        // into a garbage key
+        val host = UrlUtil
+          .tryParse(if (raw.contains("://")) raw else s"http://$raw")
+          .map(_.host).orNull
         if (host == null || host.isEmpty) None
         else {
           val meta = splits.iterator.drop(1).flatMap { kv =>

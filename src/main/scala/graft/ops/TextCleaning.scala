@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-cleaning operators a large-scale training-data pipeline runs
   * between crawl and tokenization: repetition diagnostics (the Gopher
-  * rules' repetition family) and cross-corpus span-level exact dedup
-  * (the C4 cleaning step). Everything is declarative Catalyst — explode /
+  * rules' repetition family), cross-corpus span-level exact dedup and
+  * line-level filtering (the C4 cleaning steps), and PII redaction.
+  * Everything is declarative Catalyst — explode /
   * partial-aggregatable groupBy / join — so plans stay in whole-stage
   * codegen and map-side combine applies to every shuffle.
   *

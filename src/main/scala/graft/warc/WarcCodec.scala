@@ -62,8 +62,14 @@ object WarcCodec {
     line(s"Content-Type: ${r.contentType}")
     line(s"Content-Length: ${r.payload.length}")
     r.headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      require(!k.startsWith("WARC-Type") && !k.startsWith("Content-Length"),
-        s"reserved WARC header: $k")
+      // a custom header must not collide with a canonical field (a smuggled
+      // "content-length" would desync the length-framed reader) nor carry
+      // characters that break the header grammar (CRLF/colon injection)
+      require(!Canonical(k.trim.toLowerCase), s"reserved WARC header: $k")
+      require(!k.exists(c => c == '\r' || c == '\n' || c == ':'),
+        s"illegal character in WARC header name: $k")
+      require(!v.exists(c => c == '\r' || c == '\n'),
+        s"newline in WARC header value for $k")
       line(s"$k: $v")
     }
     out.write(Crlf)

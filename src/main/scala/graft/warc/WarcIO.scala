@@ -65,9 +65,16 @@ object WarcIO {
         val bytes = WarcCodec.encode(toRecords(rows))
         if (bytes.isEmpty) Iterator.empty
         else {
+          // write-then-atomic-rename: a speculative twin or retried attempt
+          // either sees the finished file or replaces it with identical
+          // bytes — never a half-truncated interleaving
           val f = Paths.get(dir, f"part-$part%05d.warc")
-          Files.write(f, bytes, StandardOpenOption.CREATE,
+          val tmp = Paths.get(dir,
+            f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
+          Files.write(tmp, bytes, StandardOpenOption.CREATE,
             StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Iterator.single(WarcCodec.decode(bytes).size.toLong)
         }
       }

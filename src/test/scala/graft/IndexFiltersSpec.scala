@@ -163,6 +163,19 @@ class IndexFiltersSpec extends AnyFunSuite {
     assert(kept ++ deleted == docs.collect().map(_.getString(0)).toSet)
   }
 
+  test("deleteDuplicates: null-signature docs pass through, never collapse together") {
+    val docs = Seq(
+      ("a1", Option("s1"), 1.0, 1L),
+      ("n1", None, 1.0, 1L), // no digest: not dedup-eligible
+      ("n2", None, 2.0, 2L))
+      .map { case (k, s, b, t) => (k, s.orNull, b, t) }
+      .toDF("doc_key", "signature", "boost", "fetch_time")
+    val kept = IndexerJob.deleteDuplicates(docs)
+      .select("doc_key").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a1", "n1", "n2"))
+    assert(IndexerJob.duplicateKeys(docs).count() == 0)
+  }
+
   test("clean deletes GONE pages plus cleaning-filter hits (CleaningJob.java CleanMapper)") {
     import graft.jobs.UrlRegexCleaningFilter
     val pages = Seq(

@@ -96,6 +96,7 @@ class JobsSpec extends AnyFunSuite {
       "http://news.example.co.uk/some/path",   // full url: host extracted
       "   ",                                   // blank: skipped
       "www.example.com\tnote=secondary",       // dup host: lexicographic-max value wins
+      "http://\tk=v",                          // no host parseable: line skipped
       "malformed-no-meta\tjunkwithoutequals")) // meta without '=': skipped
     val hosts = graft.jobs.HostDbJob.injectHosts(spark, lines)
       .collect().map(r => r.getString(0) -> r.getMap[String, String](1)).toMap

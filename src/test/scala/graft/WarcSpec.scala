@@ -49,6 +49,23 @@ class WarcSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("unterminated"))
   }
 
+  test("encode rejects header smuggling (canonical collisions, CRLF/colon injection)") {
+    val base = rec("http://a/1", "x".getBytes("UTF-8"))
+    // a custom header must not shadow the length framing
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(headers = Map("Content-LENGTH" -> "999"))))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(headers = Map("X-Bad: sneaky" -> "v"))))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(headers = Map("X-Bad" -> "v\r\nContent-Length: 0"))))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(targetUri = "http://a/1\r\nWARC-Type: fake")))
+    // a benign custom header still roundtrips
+    val ok = WarcCodec.decode(WarcCodec.encode(Iterator(
+      base.copy(headers = Map("X-Graft-Round" -> "7"))))).head
+    assert(ok.headers("x-graft-round") == "7")
+  }
+
   test("random-payload roundtrip (100 seeded cases incl. CRLF-heavy bytes)") {
     val rnd = new scala.util.Random(42)
     val recs = (0 until 100).map { i =>
