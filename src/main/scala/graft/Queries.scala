@@ -857,6 +857,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** B1-B4 as a driver-checked oracle (previously spec-only goldens): eight
+    * messy-url templates — case/port/ref/dot-segment/session-id/empty-query
+    * /&&-collapse shapes — run the full basic+regex normalizer chain as the
+    * native graft_normalize_url expression, and the oracle states each
+    * template's normalized form directly. Any rule drift breaks thousands
+    * of rows, not a 28-case unit test. */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val messy = expr(
+      """CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN concat('HTTP://H', doc_id % 20, '.EXAMPLE.COM:80/a', doc_id, '/b.html')
+         WHEN 1 THEN concat('http://h', doc_id % 20, '.example.com')
+         WHEN 2 THEN concat('http://h', doc_id % 20, '.example.com/a/../b', doc_id, '/./c//d.html')
+         WHEN 3 THEN concat('http://h', doc_id % 20, '.example.com/p', doc_id, '.html#frag')
+         WHEN 4 THEN concat('http://h', doc_id % 20, '.example.com/q', doc_id, '?PHPSESSID=abc123&x=1')
+         WHEN 5 THEN concat('http://h', doc_id % 20, '.example.com/a', doc_id, '?')
+         WHEN 6 THEN concat('https://h', doc_id % 20, '.example.com:443/x', doc_id, '.html')
+         ELSE concat('http://h', doc_id % 20, '.example.com/q', doc_id, '?a=1&&b=2') END""")
+    t(s, dir, "documents")
+      .select(col("doc_id"), messy.as("url"))
+      .withColumn("normalized", call_function("graft_normalize_url", col("url")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** B13 as a driver-checked oracle: the deterministic uuid3 storage key,
+    * recomputed by DuckDB from the md5 hex with the version/variant nibble
+    * patches — proving the key derivation is engine-portable bit for bit. */
+  private def qUuid3Key(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("http://h"), col("doc_id") % 20, lit(".example.com/p/"),
+          col("doc_id"), lit(".html")).as("url"))
+      .withColumn("key", call_function("graft_uuid3", col("url")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashing-trick quality classifier (the fastText-style corpus filter):
     * tokens hash into 512 buckets, the md5-derived weight table broadcasts,
     * and each doc's keep/drop falls out of the mean bucket weight. The
@@ -1029,6 +1066,8 @@ object Queries {
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_line_filter" -> (qLineFilter _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_uuid3_key" -> (qUuid3Key _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1633,6 +1672,38 @@ object Queries {
                 count(*) AS n_tokens,
                 sum(milli) > 0 AS keep
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "q_url_normalize" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 8 AS INT)
+                WHEN 0 THEN 'HTTP://H' || (doc_id % 20) || '.EXAMPLE.COM:80/a' || doc_id || '/b.html'
+                WHEN 1 THEN 'http://h' || (doc_id % 20) || '.example.com'
+                WHEN 2 THEN 'http://h' || (doc_id % 20) || '.example.com/a/../b' || doc_id || '/./c//d.html'
+                WHEN 3 THEN 'http://h' || (doc_id % 20) || '.example.com/p' || doc_id || '.html#frag'
+                WHEN 4 THEN 'http://h' || (doc_id % 20) || '.example.com/q' || doc_id || '?PHPSESSID=abc123&x=1'
+                WHEN 5 THEN 'http://h' || (doc_id % 20) || '.example.com/a' || doc_id || '?'
+                WHEN 6 THEN 'https://h' || (doc_id % 20) || '.example.com:443/x' || doc_id || '.html'
+                ELSE 'http://h' || (doc_id % 20) || '.example.com/q' || doc_id || '?a=1&&b=2' END AS url,
+                CASE CAST(doc_id % 8 AS INT)
+                WHEN 0 THEN 'http://h' || (doc_id % 20) || '.example.com/a' || doc_id || '/b.html'
+                WHEN 1 THEN 'http://h' || (doc_id % 20) || '.example.com/'
+                WHEN 2 THEN 'http://h' || (doc_id % 20) || '.example.com/b' || doc_id || '/c/d.html'
+                WHEN 3 THEN 'http://h' || (doc_id % 20) || '.example.com/p' || doc_id || '.html'
+                WHEN 4 THEN 'http://h' || (doc_id % 20) || '.example.com/q' || doc_id || '?x=1'
+                WHEN 5 THEN 'http://h' || (doc_id % 20) || '.example.com/a' || doc_id
+                WHEN 6 THEN 'https://h' || (doc_id % 20) || '.example.com/x' || doc_id || '.html'
+                ELSE 'http://h' || (doc_id % 20) || '.example.com/q' || doc_id || '?a=1&b=2' END AS normalized
+         FROM documents ORDER BY doc_id""",
+    "q_uuid3_key" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'http://h' || (doc_id % 20) || '.example.com/p/' || doc_id || '.html' AS url
+           FROM documents),
+         m AS (SELECT doc_id, url, md5(url) AS h FROM u)
+         SELECT doc_id, url,
+                substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3) || '-' ||
+                lower(to_hex((('0x' || substr(h,17,1))::INT % 4) + 8)) ||
+                substr(h,18,3) || '-' || substr(h,21,12) AS key
+         FROM m ORDER BY doc_id""",
     "q_urlfilter_automaton" ->
       """WITH urls AS (
            SELECT CASE CAST(doc_id % 5 AS INT)
