@@ -894,6 +894,64 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** B9/E7 as a driver-checked oracle: the fetch-schedule state machine —
+    * success reschedule, GONE backoff (interval x1.5), transient-error
+    * retry (+1 day, counter bump), and the far-future fetchTime clamp in
+    * shouldFetch — applied per row by the typed schedule code, with every
+    * integer formula restated by DuckDB. Intervals stay far below
+    * fetchIntervalMax so no float-rounding branch (the x0.9f cap) is on
+    * the oracle path. */
+  private def qFetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = graft.crawl.CrawlConfig()
+    val sched = graft.schedule.DefaultFetchSchedule(conf)
+    val T = 1700000000000L
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val interval = 600 + (id % 1000).toInt
+      val base = graft.model.WebPage(url = s"u$id", fetchTime = T,
+        fetchInterval = interval, retriesSinceFetch = (id % 3).toInt)
+      val (p, eligible) = (id % 4).toInt match {
+        case 0 => (sched.setFetchSchedule(base, 0L, 0L, T, T - 5000, 0), true)
+        case 1 => (sched.setPageGoneSchedule(base, 0L, 0L, T), true)
+        case 2 =>
+          val fetchAt = // %8==2: far future (clamps to now); %8==6: near future
+            if (id % 8 == 2) T + conf.fetchIntervalMax * 1000L + 12345L
+            else T + 5000L
+          val (ok, q) = sched.shouldFetch(base.copy(fetchTime = fetchAt), T)
+          (q, ok)
+        case _ => (sched.setPageRetrySchedule(base, 0L, 0L, T), true)
+      }
+      (id, (id % 4).toInt, p.fetchTime, p.fetchInterval.toLong,
+        p.retriesSinceFetch.toLong, eligible)
+    }.toDF("doc_id", "op", "fetch_time", "interval", "retries", "eligible")
+      .orderBy(col("doc_id"))
+  }
+
+  /** B20 as a driver-checked oracle: chooseRepr (the redirect
+    * representative-URL rule, reference URLUtil.java:246-300) over eight
+    * (src, dst, temp) templates covering every branch — cross-domain,
+    * root-wins (permanent and temporary), shorter-file/fewer-segment and
+    * shorter-host tie-breaks — expected representative stated per template
+    * by the oracle. */
+  private def qChooseRepr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h = id % 20
+      val (src, dst, temp) = (id % 8).toInt match {
+        case 0 => (s"http://h$h.example.com/x$id", s"http://b.other.org/y$id", false)
+        case 1 => (s"http://h$h.example.com/", s"http://h$h.example.com/deep/page$id", false)
+        case 2 => (s"http://h$h.example.com/x$id.html", s"http://h$h.example.com/y$id.html", false)
+        case 3 => (s"http://h$h.example.com/", s"http://h$h.example.com/p$id", true)
+        case 4 => (s"http://h$h.example.com/p$id", s"http://h$h.example.com/", true)
+        case 5 => (s"http://h$h.example.com/a$id", s"http://h$h.example.com/a$id/bb", true)
+        case 6 => (s"http://h$h.example.com/ab-c", s"http://h$h.example.com/a/bc", true)
+        case _ => (s"http://h$h.example.com/x$id", s"http://www.h$h.example.com/x$id", true)
+      }
+      (id, src, dst, temp, graft.url.UrlUtil.chooseRepr(src, dst, temp))
+    }.toDF("doc_id", "src", "dst", "temp", "repr")
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashing-trick quality classifier (the fastText-style corpus filter):
     * tokens hash into 512 buckets, the md5-derived weight table broadcasts,
     * and each doc's keep/drop falls out of the mean bucket weight. The
@@ -1068,6 +1126,8 @@ object Queries {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_uuid3_key" -> (qUuid3Key _),
+    "q_fetch_schedule" -> (qFetchSchedule _),
+    "q_choose_repr" -> (qChooseRepr _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1672,6 +1732,59 @@ object Queries {
                 count(*) AS n_tokens,
                 sum(milli) > 0 AS keep
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "q_choose_repr" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+                  'h' || (doc_id % 20) || '.example.com' AS host
+           FROM documents)
+         SELECT doc_id,
+                CASE k
+                WHEN 0 THEN 'http://' || host || '/x' || doc_id
+                WHEN 1 THEN 'http://' || host || '/'
+                WHEN 2 THEN 'http://' || host || '/x' || doc_id || '.html'
+                WHEN 3 THEN 'http://' || host || '/'
+                WHEN 4 THEN 'http://' || host || '/p' || doc_id
+                WHEN 5 THEN 'http://' || host || '/a' || doc_id
+                WHEN 6 THEN 'http://' || host || '/ab-c'
+                ELSE 'http://' || host || '/x' || doc_id END AS src,
+                CASE k
+                WHEN 0 THEN 'http://b.other.org/y' || doc_id
+                WHEN 1 THEN 'http://' || host || '/deep/page' || doc_id
+                WHEN 2 THEN 'http://' || host || '/y' || doc_id || '.html'
+                WHEN 3 THEN 'http://' || host || '/p' || doc_id
+                WHEN 4 THEN 'http://' || host || '/'
+                WHEN 5 THEN 'http://' || host || '/a' || doc_id || '/bb'
+                WHEN 6 THEN 'http://' || host || '/a/bc'
+                ELSE 'http://www.' || host || '/x' || doc_id END AS dst,
+                k >= 3 AS temp,
+                CASE k
+                WHEN 0 THEN 'http://b.other.org/y' || doc_id       -- cross-domain: dst
+                WHEN 1 THEN 'http://' || host || '/'               -- perm, src root: src
+                WHEN 2 THEN 'http://' || host || '/y' || doc_id || '.html' -- perm, non-root: dst
+                WHEN 3 THEN 'http://' || host || '/'               -- temp, src root: src
+                WHEN 4 THEN 'http://' || host || '/'               -- temp, dst root: dst
+                WHEN 5 THEN 'http://' || host || '/a' || doc_id    -- shorter file: src
+                WHEN 6 THEN 'http://' || host || '/ab-c'           -- fewer segments: src
+                ELSE 'http://' || host || '/x' || doc_id END AS repr -- shorter host: src
+         FROM c ORDER BY doc_id""",
+    "q_fetch_schedule" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(doc_id % 4 AS INT) AS op,
+                  600 + (doc_id % 1000) AS itv,
+                  doc_id % 3 AS r0
+           FROM documents)
+         SELECT doc_id, op,
+                CASE op
+                  WHEN 0 THEN 1700000000000 + itv * 1000
+                  WHEN 1 THEN 1700000000000 + (itv + itv // 2) * 1000
+                  WHEN 2 THEN CASE WHEN doc_id % 8 = 2
+                    THEN 1700000000000 ELSE 1700000005000 END
+                  ELSE 1700000000000 + 86400000 END AS fetch_time,
+                CASE op WHEN 1 THEN itv + itv // 2 ELSE itv END AS interval,
+                CASE op WHEN 0 THEN 0 WHEN 3 THEN r0 + 1 ELSE r0 END AS retries,
+                NOT (op = 2 AND doc_id % 8 = 6) AS eligible
+         FROM base ORDER BY doc_id""",
     "q_url_normalize" ->
       """SELECT doc_id,
                 CASE CAST(doc_id % 8 AS INT)
