@@ -27,7 +27,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|warcexport|warcimport|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -135,6 +135,81 @@ object CrawlMain {
             System.err.println("usage: warcexport --table d --out <dir>")
             sys.exit(2)
         }
+      case "cleandb" => // reference `bin/nutch cleandb` (DbCleanerJob deleteSchema)
+        new graft.table.SnapshotTable(table).drop()
+        println(s"cleandb: dropped $table")
+      case "index" => // reference `bin/nutch index` (IndexingJob -> docs table)
+        arg(args, "out") match {
+          case Some(out) =>
+            val t = new graft.table.SnapshotTable(table)
+            graft.jobs.IndexerJob.index(spark,
+              t.currentView(spark).drop("snapshot_id"), out,
+              batchId = arg(args, "batch"))
+            println(s"index: docs -> $out")
+          case None =>
+            System.err.println("usage: index --table d --out <dir> [--batch id]")
+            sys.exit(2)
+        }
+      case "indexdedup" => // reference `bin/nutch solrdedup` (SolrDeleteDuplicates)
+        arg(args, "docs") match {
+          case Some(d) =>
+            val docs = spark.read.parquet(d)
+            val dups = graft.jobs.IndexerJob.duplicateKeys(docs).count()
+            graft.jobs.IndexerJob.deleteDuplicates(docs)
+              .write.mode("overwrite").parquet(d + "-deduped")
+            println(s"indexdedup: $dups duplicates removed -> $d-deduped")
+          case None =>
+            System.err.println("usage: indexdedup --docs <dir>"); sys.exit(2)
+        }
+      case "indexclean" => // reference `bin/nutch idxclean` (CleaningJob)
+        arg(args, "docs") match {
+          case Some(d) =>
+            val t = new graft.table.SnapshotTable(table)
+            val pages = t.currentView(spark).drop("snapshot_id")
+            val filters = arg(args, "blockregex")
+              .map(re => Seq(graft.jobs.UrlRegexCleaningFilter(Seq(re))))
+              .getOrElse(Seq.empty)
+            graft.jobs.IndexerJob.clean(spark.read.parquet(d), pages, filters)
+              .write.mode("overwrite").parquet(d + "-cleaned")
+            println(s"indexclean: -> $d-cleaned")
+          case None =>
+            System.err.println("usage: indexclean --docs <dir> [--table d] [--blockregex re]")
+            sys.exit(2)
+        }
+      case "parsecheck" => // reference `bin/nutch parsechecker` (ParserChecker)
+        val url = arg(args, "url").getOrElse {
+          System.err.println("usage: parsecheck --url <u> [--hosts n]"); sys.exit(2); ""
+        }
+        val row = ImageSynth.rowForUrl(url, 24, 24)
+        val page = graft.model.WebPage(url = url,
+          status = graft.model.CrawlStatus.FETCHED, content = row.bytes,
+          metadata = Map("caption" -> row.caption),
+          markers = Map(graft.model.Marks.FETCH -> "check"))
+        val parsed = graft.jobs.ParserJob.parsePage(page, conf,
+          PhashOutlinks(pages, hosts, 4), graft.url.RegexUrlFilter.acceptAll, "check")
+        println(s"url: ${parsed.url}")
+        println(s"title: ${parsed.title}")
+        println(s"text: ${parsed.text}")
+        println(s"signature: ${Option(parsed.signature).map(_.map("%02x".format(_)).mkString).orNull}")
+        println(s"phash: ${parsed.metadata.getOrElse(graft.jobs.ParserJob.PhashMeta, "-")}")
+        println(s"outlinks (${parsed.outlinks.size}):")
+        parsed.outlinks.toSeq.sortBy(_._1).foreach { case (u, a) => println(s"  $u\t$a") }
+      case "indexcheck" => // reference `bin/nutch indexchecker` (IndexingFiltersChecker)
+        import spark.implicits._
+        val url = arg(args, "url").getOrElse {
+          System.err.println("usage: indexcheck --url <u>"); sys.exit(2); ""
+        }
+        val row = ImageSynth.rowForUrl(url, 24, 24)
+        val page = graft.model.WebPage(url = url,
+          status = graft.model.CrawlStatus.FETCHED, content = row.bytes,
+          metadata = Map("caption" -> row.caption),
+          markers = Map(graft.model.Marks.FETCH -> "check"))
+        val parsed = graft.jobs.ParserJob.parsePage(page, conf,
+          PhashOutlinks(pages, hosts, 4), graft.url.RegexUrlFilter.acceptAll, "check")
+        graft.jobs.IndexerJob.buildDocs(Seq(parsed).toDF(),
+            extraFilters = Seq(graft.jobs.MoreIndexingFilter(),
+              graft.jobs.TldIndexingFilter(), graft.jobs.PhashIndexingFilter()))
+          .show(truncate = false)
       case "warcimport" => // third-party WARC dump -> fetched frontier rows
         arg(args, "in") match {
           case Some(in) =>
