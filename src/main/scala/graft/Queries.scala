@@ -952,6 +952,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** B15 as a driver-checked oracle: the TextProfile signature — unicode
+    * letter/digit tokenization, strict min-token-length, frequency
+    * quantization, (-count, token) profile ordering, md5 of the joined
+    * profile — replayed step for step by DuckDB over synthesized texts
+    * whose token counts (≤7) pin the quant branch to the
+    * maxFreq>1 ⇒ quant=2 case (the x0.01 rounding path needs maxFreq≥150
+    * and is covered by UrlCoreSpec). */
+  private def qTextprofileSig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = ("alpha " * (3 + (id % 4).toInt)) + "beta beta beta " +
+        "gamma gamma " + (s"tok${id % 7} " * 4) + "xy z 7"
+      val sig = graft.url.Signatures.textProfileSignature(
+        graft.model.WebPage(url = s"u$id", text = text))
+      (id, sig.map("%02x".format(_)).mkString)
+    }.toDF("doc_id", "sig").orderBy(col("doc_id"))
+  }
+
   /** Hashing-trick quality classifier (the fastText-style corpus filter):
     * tokens hash into 512 buckets, the md5-derived weight table broadcasts,
     * and each doc's keep/drop falls out of the mean bucket weight. The
@@ -1128,6 +1146,7 @@ object Queries {
     "q_uuid3_key" -> (qUuid3Key _),
     "q_fetch_schedule" -> (qFetchSchedule _),
     "q_choose_repr" -> (qChooseRepr _),
+    "q_textprofile_sig" -> (qTextprofileSig _),
     // rows-only driver check (no DuckDB oracle: binary decode)
     "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
@@ -1732,6 +1751,31 @@ object Queries {
                 count(*) AS n_tokens,
                 sum(milli) > 0 AS keep
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "q_textprofile_sig" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  repeat('alpha ', CAST(3 + doc_id % 4 AS INT)) || 'beta beta beta ' ||
+                  'gamma gamma ' || repeat('tok' || (doc_id % 7) || ' ', 4) || 'xy z 7' AS txt
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9]+'),
+                    w -> length(w) > 2)) AS tok
+           FROM t0),
+         counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+         -- maxFreq <= 7 here, so round(maxFreq*0.01) < 2 and the reference's
+         -- quant collapses to: 2 when maxFreq > 1 else 1
+         q AS (SELECT doc_id, CASE WHEN max(c) > 1 THEN 2 ELSE 1 END AS quant
+               FROM counts GROUP BY doc_id),
+         prof AS (
+           SELECT c.doc_id, c.tok, (c.c // q.quant) * q.quant AS cq
+           FROM counts c JOIN q ON c.doc_id = q.doc_id
+           WHERE (c.c // q.quant) * q.quant >= q.quant),
+         agg AS (
+           SELECT doc_id,
+                  string_agg(tok || ' ' || cq, chr(10) ORDER BY cq DESC, tok) AS profile
+           FROM prof GROUP BY doc_id)
+         SELECT doc_id, md5(profile) AS sig FROM agg ORDER BY doc_id""",
     "q_choose_repr" ->
       """WITH c AS (
            SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,

@@ -242,6 +242,7 @@ object CrawlMain {
         try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { u =>
           println((if (rules.isAllowed(u)) "allowed" else "not allowed") + ":\t" + u)
         } finally src.close()
+        rules.sitemaps.foreach(sm => println(s"sitemap:\t$sm"))
       case _ =>
         System.err.println(
           "usage: robots --robotsfile <robots.txt> --urlfile <urls> --agents <a,b>")

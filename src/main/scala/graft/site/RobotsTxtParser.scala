@@ -33,6 +33,7 @@ object RobotsTxtParser {
 
     // ---- tokenize into groups ------------------------------------------
     var groups = Vector.empty[Group]
+    var sitemaps = Vector.empty[String]
     var agents = Vector.empty[String]
     var dis = Vector.empty[String]
     var alw = Vector.empty[String]
@@ -61,6 +62,9 @@ object RobotsTxtParser {
           case "crawl-delay" =>
             inRules = true
             delay = try { (value.toDouble * 1000).toLong } catch { case _: Exception => delay }
+          // sitemaps are file-global (RFC 9309 §2.3: independent of any
+          // group), collected for every crawler regardless of matching
+          case "sitemap" => if (value.nonEmpty) sitemaps :+= value
           // only Allow/Disallow/Crawl-delay occupy rule positions: a
           // Sitemap: (or unknown) line between consecutive User-agent lines
           // must NOT split what RFC 9309 treats as one multi-agent group
@@ -77,8 +81,9 @@ object RobotsTxtParser {
       case Some(g) => RobotsRule(host,
         disallow = g.disallow.filter(_.nonEmpty),
         crawlDelayMs = g.crawlDelayMs,
-        allow = g.allow.filter(_.nonEmpty))
-      case None => RobotsRule(host) // no applicable group: allow all
+        allow = g.allow.filter(_.nonEmpty),
+        sitemaps = sitemaps)
+      case None => RobotsRule(host, sitemaps = sitemaps) // no group: allow all
     }
   }
 }

@@ -9,7 +9,8 @@ import graft.images.ImageSynth
   * no Crawl-Delay directive.
   */
 case class RobotsRule(host: String, disallow: Seq[String] = Seq.empty,
-    crawlDelayMs: Long = 0L, allow: Seq[String] = Seq.empty) {
+    crawlDelayMs: Long = 0L, allow: Seq[String] = Seq.empty,
+    sitemaps: Seq[String] = Seq.empty) {
 
   /** RFC 9309 decision: the most specific (longest) matching pattern wins,
     * Allow wins length ties, no matching pattern = allowed. Patterns may

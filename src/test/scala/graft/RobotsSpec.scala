@@ -120,6 +120,26 @@ class RobotsSpec extends AnyFunSuite {
     assert(!s2.isAllowed("http://h/b/x") && s2.isAllowed("http://h/a/x"))
   }
 
+  test("Sitemap lines are file-global (RFC 9309 §2.3): collected for every crawler") {
+    val txt =
+      """Sitemap: http://h/sitemap-index.xml
+        |User-agent: Agent1
+        |Disallow: /private
+        |Sitemap: http://h/sitemap-2.xml
+        |User-agent: *
+        |Disallow: /tmp
+        |Sitemap:
+        |""".stripMargin
+    val r1 = RobotsTxtParser.parse("h", txt, "agent1")
+    val r2 = RobotsTxtParser.parse("h", txt, "otherbot")
+    val want = Seq("http://h/sitemap-index.xml", "http://h/sitemap-2.xml")
+    assert(r1.sitemaps == want, "named group sees all sitemaps")
+    assert(r2.sitemaps == want, "fallback group sees all sitemaps")
+    // empty Sitemap value is dropped; a file with no groups still surfaces them
+    val r3 = RobotsTxtParser.parse("h", "Sitemap: http://h/s.xml\n", "any")
+    assert(r3.sitemaps == Seq("http://h/s.xml") && r3.isAllowed("http://h/x"))
+  }
+
   test("empty/absent robots allow everything; empty Disallow value is a no-op") {
     assert(RobotsTxtParser.parse("h", "", "bot").isAllowed("http://h/anything"))
     val txt = "User-agent: *\nDisallow:\n"
