@@ -1664,7 +1664,9 @@ object Queries {
          WHERE NOT (status = 3 OR regexp_full_match(url, '.*/img/.*'))
          ORDER BY doc_key""",
     "q_pii_redact" ->
-      """WITH salted AS (
+      // the SAME pattern constants the engine runs, interpolated — the
+      // "identical strings in both engines" claim is true by construction
+      s"""WITH salted AS (
            SELECT doc_id,
                   text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
                     '.example.com or 10.' || (doc_id % 256) || '.' ||
@@ -1675,16 +1677,16 @@ object Queries {
            FROM documents),
          s1 AS (
            SELECT doc_id, t0,
-                  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                  regexp_replace(t0, '${graft.ops.TextCleaning.EmailPattern}', '<EMAIL>', 'g') AS t1
            FROM salted),
          s2 AS (
-           SELECT *, regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+           SELECT *, regexp_replace(t1, '${graft.ops.TextCleaning.Ipv4Pattern}', '<IP>', 'g') AS t2
            FROM s1)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-                CAST(len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
-                CAST(len(regexp_extract_all(t2, '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\b')) AS INTEGER) AS n_phones,
-                regexp_replace(t2, '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+                CAST(len(regexp_extract_all(t0, '${graft.ops.TextCleaning.EmailPattern}')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(t1, '${graft.ops.TextCleaning.Ipv4Pattern}')) AS INTEGER) AS n_ips,
+                CAST(len(regexp_extract_all(t2, '${graft.ops.TextCleaning.PhonePattern}')) AS INTEGER) AS n_phones,
+                regexp_replace(t2, '${graft.ops.TextCleaning.PhonePattern}', '<PHONE>', 'g') AS redacted
          FROM s2 ORDER BY doc_id""",
     "q_vocab_topk" ->
       """WITH toks AS (

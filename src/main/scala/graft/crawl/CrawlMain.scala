@@ -100,9 +100,21 @@ object CrawlMain {
       case "hostinject" => // reference `bin/nutch hostinject` (HostInjectorJob)
         arg(args, "hostsfile") match {
           case Some(p) =>
-            import spark.implicits._
-            graft.jobs.HostDbJob.injectHosts(spark, spark.read.textFile(p))
-              .write.mode("overwrite").parquet(s"$table-hostdb")
+            val fresh = graft.jobs.HostDbJob.injectHosts(spark, spark.read.textFile(p))
+            val dbDir = s"$table-hostdb"
+            // the reference UPSERTS into the host store — merge with any
+            // existing hostdb instead of replacing it; write aside then
+            // swap because the merge reads the directory it replaces
+            val merged =
+              if (new java.io.File(dbDir, "_SUCCESS").exists())
+                graft.jobs.HostDbJob.mergeHosts(spark.read.parquet(dbDir), fresh)
+              else fresh
+            merged.write.mode("overwrite").parquet(s"$dbDir.tmp")
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              spark.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(dbDir), true)
+            fs.rename(new org.apache.hadoop.fs.Path(s"$dbDir.tmp"),
+              new org.apache.hadoop.fs.Path(dbDir))
           case None =>
             System.err.println("usage: hostinject --hostsfile <file> [--table d]")
             sys.exit(2)
@@ -154,9 +166,11 @@ object CrawlMain {
         arg(args, "docs") match {
           case Some(d) =>
             val docs = spark.read.parquet(d)
-            val dups = graft.jobs.IndexerJob.duplicateKeys(docs).count()
             graft.jobs.IndexerJob.deleteDuplicates(docs)
               .write.mode("overwrite").parquet(d + "-deduped")
+            // both counts are parquet-footer metadata reads — the dedup
+            // window runs exactly once (in the write above)
+            val dups = docs.count() - spark.read.parquet(d + "-deduped").count()
             println(s"indexdedup: $dups duplicates removed -> $d-deduped")
           case None =>
             System.err.println("usage: indexdedup --docs <dir>"); sys.exit(2)
@@ -217,8 +231,9 @@ object CrawlMain {
             val crawl = crawlOf()
             val pages = graft.warc.WarcIO.toPages(
               graft.warc.WarcIO.read(spark, in), batchId = s"warc-$round", round = round)
-            crawl.table.append(pages.toDF(), round, "fetch")
-            println(s"warcimport: ${pages.count()} pages <- $in")
+            // append returns the row count — no second read+decode pass
+            val n = crawl.table.append(pages.toDF(), round, "fetch")
+            println(s"warcimport: $n pages <- $in")
           case None =>
             System.err.println("usage: warcimport --table d --in <dir>")
             sys.exit(2)

@@ -107,6 +107,20 @@ object HostDbJob {
           Some(UrlUtil.reverseHost(host) -> meta)
         }
       }
+      .toDF("host_key", "metadata")
+      .transform(df => mergeHosts(df))
+  }
+
+  /** Collapse host rows to one per key, metadata merged with the
+    * lexicographic-max-per-key rule (the deterministic replacement for the
+    * reference store's arrival-order upsert). Also the `hostinject`
+    * incremental path: merge a fresh injection INTO an existing hostdb —
+    * the reference HostInjectorJob upserts, it never replaces the table. */
+  def mergeHosts(hosts: DataFrame, more: DataFrame*): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    more.foldLeft(hosts)(_ unionByName _)
+      .as[(String, Map[String, String])]
       .groupByKey(_._1)
       .mapGroups { (k, rows) =>
         val merged = rows.flatMap(_._2).toSeq.groupBy(_._1)

@@ -104,9 +104,12 @@ object TextCleaning {
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   /** Phone shapes: optional +CC, then 555-123-4567 / (555) 123-4567 /
     * 555.123.4567 — a separator (or parens) after the area code is
-    * REQUIRED, so bare digit runs (ids, timestamps) never match. */
+    * REQUIRED, so bare digit runs (ids, timestamps) never match, and the
+    * `\b` before the area code stops matches STARTING inside a longer
+    * separator-bearing run (serial "12345-678-9012" must not lose its
+    * tail to a mid-run "345-678-9012" match). */
   val PhonePattern: String =
-    "(?:\\+[0-9]{1,2}[ .-]?)?(?:\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\\b"
+    "(?:\\+[0-9]{1,2}[ .-]?)?(?:\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])[0-9]{3}[ .-]?[0-9]{4}\\b"
 
   private val PiiChain = Seq(
     EmailPattern -> "<EMAIL>", Ipv4Pattern -> "<IP>", PhonePattern -> "<PHONE>")
@@ -150,7 +153,11 @@ object TextCleaning {
       blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "cookie policy"))
       : DataFrame = {
     val id = col(idCol)
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+    // split on \r?\n: CRLF documents (ubiquitous in web text) must not
+    // leave a stray \r on every line — trim() only strips spaces, and a
+    // trailing \r flips the terminal-punctuation test differently under
+    // Java regex ('$' matches before it) vs RE2 (it doesn't)
+    val lines = filter(transform(split(col(textCol), "\\r?\\n"), l => trim(l)),
       l => l =!= "")
     def keepLine(l: Column): Column = {
       val terminal = l.rlike("[.!?][\"']?$")

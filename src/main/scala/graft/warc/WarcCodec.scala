@@ -95,8 +95,10 @@ object WarcCodec {
       pos = skipCrlf(bytes, pos)
       if (pos < bytes.length) {
         val (headers, bodyStart) = readHeaderBlock(bytes, pos)
-        val len = headers.getOrElse("content-length",
-          fail(pos, "missing Content-Length")).trim.toLong
+        val rawLen = headers.getOrElse("content-length",
+          fail(pos, "missing Content-Length"))
+        val len = rawLen.trim.toLongOption.getOrElse(
+          fail(pos, s"unparsable Content-Length '$rawLen'"))
         require(len >= 0 && len <= bytes.length - bodyStart,
           s"corrupt WARC at offset $pos: Content-Length $len with only " +
             s"${bytes.length - bodyStart} bytes remaining")

@@ -53,7 +53,9 @@ object WarcIO {
     }
 
   /** Export pages to `dir` as WARC, one file per partition; returns the
-    * number of records written. */
+    * number of records written. Records stream to the file one at a time —
+    * task memory is O(largest record), not O(archive), so the ~1 GB-file
+    * convention never hits the JVM array ceiling. */
   def write(pages: DataFrame, dir: String): Long = {
     import pages.sparkSession.implicits._
     Files.createDirectories(Paths.get(dir))
@@ -62,8 +64,8 @@ object WarcIO {
       .as[(String, Array[Byte], String, Long)]
       .mapPartitions { rows =>
         val part = TaskContext.getPartitionId()
-        val bytes = WarcCodec.encode(toRecords(rows))
-        if (bytes.isEmpty) Iterator.empty
+        val recs = toRecords(rows)
+        if (!recs.hasNext) Iterator.empty
         else {
           // write-then-atomic-rename: a speculative twin or retried attempt
           // either sees the finished file or replaces it with identical
@@ -71,11 +73,14 @@ object WarcIO {
           val f = Paths.get(dir, f"part-$part%05d.warc")
           val tmp = Paths.get(dir,
             f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
-          Files.write(tmp, bytes, StandardOpenOption.CREATE,
+          val out = Files.newOutputStream(tmp, StandardOpenOption.CREATE,
             StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+          var n = 0L
+          try recs.foreach { r => out.write(WarcCodec.recordBytes(r)); n += 1 }
+          finally out.close()
           Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Iterator.single(WarcCodec.decode(bytes).size.toLong)
+          Iterator.single(n)
         }
       }
       .collect().sum // ≤ one row per partition

@@ -112,6 +112,19 @@ class JobsSpec extends AnyFunSuite {
     assert(dump.contains(("www.example.com", "com.example.www")))
     val one = graft.jobs.HostDbJob.readHostDb(df, Some("uk.co.example.news")).collect()
     assert(one.length == 1 && one.head.getAs[String]("host") == "news.example.co.uk")
+
+    // incremental hostinject is an UPSERT (HostInjectorJob semantics): a
+    // second injection merges into the existing db, never replaces it
+    val second = graft.jobs.HostDbJob.injectHosts(spark, spark.createDataset(Seq(
+      "www.example.com\tcrawl.budget=90",  // existing host: metadata merges
+      "new.example.net\tfresh=yes")))      // new host: appended
+    val merged = graft.jobs.HostDbJob.mergeHosts(df, second)
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    assert(merged.keySet ==
+      Set("com.example.www", "uk.co.example.news", "malformed-no-meta", "net.example.new"))
+    assert(merged("com.example.www")("crawl.budget") == "90") // "90" > "50"
+    assert(merged("com.example.www")("note") == "secondary")  // carried over
+    assert(merged("net.example.new")("fresh") == "yes")
   }
 
   test("seed-file scan (A1): inject from a text file with metadata") {

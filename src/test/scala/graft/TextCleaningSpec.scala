@@ -99,6 +99,15 @@ class TextCleaningSpec extends AnyFunSuite {
     // minLines raises the doc floor
     assert(TextCleaning.lineFilter(docs, "doc_id", "text", minLines = 2)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // CRLF documents: no stray \r survives into clean_text, and the
+    // terminal-punctuation test sees the line WITHOUT the \r
+    val crlf = TextCleaning.lineFilter(
+        docsOf(9L -> "Good sentence number one.\r\nGood sentence number two.\r\n"),
+        "doc_id", "text")
+      .head
+    assert(crlf.getAs[String]("clean_text") ==
+      "Good sentence number one.\nGood sentence number two.")
+    assert(crlf.getAs[Int]("lines_kept") == 2)
   }
 
   test("piiStats: typed placeholders, sequential counts, order contract") {
@@ -110,7 +119,10 @@ class TextCleaningSpec extends AnyFunSuite {
       // up (an all-numeric host is not an email — no alphabetic TLD — so
       // root@192.168.10.20 would redact as root@<IP>, by design)
       3L -> "x@12.34.56.78.example.com logged in from 10.0.0.7",
-      4L -> "no pii here, id 123456789012 stays put")
+      4L -> "no pii here, id 123456789012 stays put",
+      // separator-bearing serial: the \b before the area code stops a
+      // mid-run "345-678-9012" match from eating the tail
+      5L -> "serial 12345-678-9012 stays whole")
     val out = TextCleaning.piiStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(out(0).getAs[String]("redacted") ==
@@ -126,6 +138,8 @@ class TextCleaningSpec extends AnyFunSuite {
     // bare digit runs don't phone-match (separator after area code required)
     assert(out(3).getAs[String]("redacted") ==
       "no pii here, id 123456789012 stays put")
+    assert(out(4).getAs[String]("redacted") ==
+      "serial 12345-678-9012 stays whole")
   }
 
   test("redactPii is idempotent (placeholders can never re-match)") {
