@@ -216,6 +216,48 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("lineFilter invariant: every kept line is terminal-punctuated, long enough, unblocked") = {
+    import org.apache.spark.sql.functions.col
+    val lineGen: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, word(1, 8))
+      tail <- Gen.oneOf("", ".", "!", "?", ".\"", "x")
+      block <- Gen.oneOf("", "", "", " javascript ")
+    } yield ws.mkString(" ") + block + tail
+    forAll(Gen.listOfN(6, lineGen)) { lines =>
+      val spark = SparkTestBase.spark
+      import spark.implicits._
+      val docs = Seq((1L, lines.mkString("\n"))).toDF("doc_id", "text")
+      val out = graft.ops.TextCleaning.lineFilter(docs, "doc_id", "text",
+        minWords = 3, minLines = 0)
+      out.select(col("clean_text")).collect().headOption.forall { r =>
+        val kept = r.getString(0).split("\n").filter(_.nonEmpty)
+        kept.forall { l =>
+          l.matches(".*[.!?][\"']?") &&
+            l.split("\\s+").count(_.nonEmpty) >= 3 &&
+            !l.toLowerCase.contains("javascript")
+        }
+      }
+    }
+  }
+
+  property("piiStats: redacted text carries exactly the counted placeholders") = {
+    val pii: Gen[String] = Gen.oneOf(
+      Gen.const("a@b.com"), Gen.const("10.1.2.3"), Gen.const("555-123-4567"),
+      word(2, 8))
+    forAll(Gen.listOfN(6, pii)) { parts =>
+      val spark = SparkTestBase.spark
+      import spark.implicits._
+      val docs = Seq((1L, parts.mkString(" "))).toDF("doc_id", "text")
+      val r = graft.ops.TextCleaning.piiStats(docs, "doc_id", "text").head
+      val red = r.getAs[String]("redacted")
+      def occ(tok: String) = tok.r.findAllIn(red).length
+      occ("<EMAIL>") == r.getAs[Int]("n_emails") &&
+        occ("<IP>") == r.getAs[Int]("n_ips") &&
+        occ("<PHONE>") == r.getAs[Int]("n_phones")
+    }
+  }
+
   property("politeness: per-queue gaps always >= delay") =
     forAll(Gen.listOfN(40, Gen.choose(0, 5)), Gen.choose(1L, 50L)) { (hostIdx, delay) =>
       val items = hostIdx.zipWithIndex.map { case (hi, i) => (s"http://h$hi", i) }
