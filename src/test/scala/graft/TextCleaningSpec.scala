@@ -151,6 +151,33 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(twice.head.getString(0) == once.head.getString(0))
   }
 
+  test("CorpusPipeline.clean: each stage gates what it should, in order") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.CorpusPipeline
+    val good = "This is a perfectly reasonable sentence about crawling.\n" +
+      "Here is another fine sentence with plenty of words."
+    val docs = docsOf(
+      1L -> good,
+      2L -> good,                                   // exact dup of 1 -> min id 1 survives
+      3L -> "short\nno punct\ntiny",               // all lines die -> line-filter drop
+      4L -> ("spam spam spam spam spam spam spam spam spam spam. " * 3 +
+        "\nRepeat repeat repeat repeat repeat repeat again now."), // repetition gate
+      5L -> ("Contact me at bob@example.com for all the details.\n" +
+        "My address is 10.1.2.3 which is quite memorable."),       // PII redacted, kept
+      6L -> ("Contact me at alice@example.com for all the details.\n" +
+        "My address is 10.9.9.9 which is quite memorable."))       // dedups WITH 5 post-redaction
+    val out = CorpusPipeline.clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 5L), s"got ${out.keySet}")
+    assert(out(5L).contains("<EMAIL>") && out(5L).contains("<IP>"))
+    assert(!out(5L).contains("bob@example.com"))
+    // span dedup stage: with spanK on, doc 1's text survives rebuilt
+    val spanned = CorpusPipeline.clean(docs, "doc_id", "text", spanK = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spanned.keySet == Set(1L, 5L))
+    assert(spanned(1L).nonEmpty)
+  }
+
   test("hashedBowScore: bucket hashing, broadcast weights, unweighted buckets count as 0") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextAnalysis}
