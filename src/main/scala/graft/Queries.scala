@@ -1747,12 +1747,16 @@ object Queries {
          w AS (
            SELECT doc_id,
                   (('0x' || substr(md5('w' || bucket), 1, 10))::BIGINT % 1000) - 500 AS milli
-           FROM b)
-         SELECT doc_id,
-                CAST(sum(milli) AS BIGINT) AS sum_milli,
-                count(*) AS n_tokens,
-                sum(milli) > 0 AS keep
-         FROM w GROUP BY doc_id ORDER BY doc_id""",
+           FROM b),
+         s AS (
+           SELECT doc_id,
+                  CAST(sum(milli) AS BIGINT) AS sum_milli,
+                  count(*) AS n_tokens,
+                  sum(milli) > 0 AS keep
+           FROM w GROUP BY doc_id)
+         SELECT d.doc_id, s.sum_milli,
+                coalesce(s.n_tokens, 0) AS n_tokens, s.keep
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
     "q_textprofile_sig" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -20,6 +20,12 @@ import graft.site.PhashOutlinks
   */
 object CrawlMain {
 
+  /** FS-agnostic existence probe (works on local, HDFS, object stores). */
+  private def hadoopExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def arg(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
   private def flag(args: Array[String], name: String): Boolean =
@@ -56,7 +62,7 @@ object CrawlMain {
         case Some(d) => spark.read.parquet(d)
         case None =>
           val d = s"$table-images"
-          if (!new java.io.File(d, "_SUCCESS").exists())
+          if (!hadoopExists(spark, s"$d/_SUCCESS"))
             ImageSynth.writeImagesTable(spark, d, pages, hosts, partitions = conf.numPartitions)
           spark.read.parquet(d)
       }
@@ -104,9 +110,12 @@ object CrawlMain {
             val dbDir = s"$table-hostdb"
             // the reference UPSERTS into the host store — merge with any
             // existing hostdb instead of replacing it; write aside then
-            // swap because the merge reads the directory it replaces
+            // swap because the merge reads the directory it replaces.
+            // Existence goes through the Hadoop FS (a java.io.File probe is
+            // always false on HDFS/S3 and would silently degrade the
+            // upsert to a replace, destroying existing host metadata)
             val merged =
-              if (new java.io.File(dbDir, "_SUCCESS").exists())
+              if (hadoopExists(spark, s"$dbDir/_SUCCESS"))
                 graft.jobs.HostDbJob.mergeHosts(spark.read.parquet(dbDir), fresh)
               else fresh
             merged.write.mode("overwrite").parquet(s"$dbDir.tmp")
@@ -231,8 +240,12 @@ object CrawlMain {
             val crawl = crawlOf()
             val pages = graft.warc.WarcIO.toPages(
               graft.warc.WarcIO.read(spark, in), batchId = s"warc-$round", round = round)
-            // append returns the row count — no second read+decode pass
-            val n = crawl.table.append(pages.toDF(), round, "fetch")
+              .toDF().persist()
+            // append returns the new snapshot id, not a row count — count
+            // the persisted frame so the decode doesn't run twice
+            val n = pages.count()
+            crawl.table.append(pages, round, "fetch")
+            pages.unpersist()
             println(s"warcimport: $n pages <- $in")
           case None =>
             System.err.println("usage: warcimport --table d --in <dir>")

@@ -59,7 +59,10 @@ object CorpusPipeline {
       .select(id)
     val deduped = redacted.join(winners, Seq(idCol), "left_semi")
 
-    // 5. optional classifier gate ((id, bucket) shuffle)
+    // 5. optional classifier gate ((id, bucket) shuffle). Token-less docs
+    // score null; null > minScore is not-true, so they drop here — the
+    // deliberate choice for a cleaning recipe (a doc with no tokens after
+    // line filtering carries no trainable text)
     val scored = weights match {
       case Some(w) =>
         val keep = TextAnalysis

@@ -420,14 +420,21 @@ object TextAnalysis {
     * tokens score null. Text never rides the shuffle — only (id, bucket).
     */
   def hashedBowScore(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, dim: Int): DataFrame =
-    docs.select(col(idCol),
+      weights: DataFrame, dim: Int): DataFrame = {
+    val scored = docs.select(col(idCol),
         explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
       .withColumn("bucket", pmod(Dedup.hash40(col("word")), lit(dim.toLong)))
       .join(org.apache.spark.sql.functions.broadcast(weights), Seq("bucket"), "left_outer")
       .groupBy(col(idCol))
       .agg(avg(coalesce(col("weight"), lit(0.0))).as("score"),
         count(lit(1)).as("n_tokens"))
+    // the explode drops token-less docs entirely; join scores back onto
+    // the full id set so they surface with a null score and CALLERS decide
+    // their fate (the second scan projects only the id column — pruned)
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol), col("score"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 
   /** A deterministic md5-derived weight table in [-0.5, 0.5) — the
     * stand-in "model" for tests and oracles (a real model replaces it row

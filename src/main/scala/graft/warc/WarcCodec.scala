@@ -52,8 +52,17 @@ object WarcCodec {
   def recordBytes(r: WarcRecord): Array[Byte] = {
     val out = new ByteArrayOutputStream(r.payload.length + 256)
     def line(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.write(Crlf) }
-    require(!r.targetUri.exists(c => c == '\r' || c == '\n'),
-      s"newline in WARC-Target-URI: ${r.targetUri}")
+    // every canonical field is header-grammar data: a CR/LF in ANY of them
+    // desyncs the length-framed format (record smuggling). contentType in
+    // particular flows from crawled-server data — WarcIO.toRecords
+    // sanitizes it, and the codec still refuses as defense in depth.
+    def noCrlf(field: String, v: String): Unit =
+      require(!v.exists(c => c == '\r' || c == '\n'), s"newline in $field: $v")
+    noCrlf("WARC-Target-URI", r.targetUri)
+    noCrlf("WARC-Type", r.warcType)
+    noCrlf("WARC-Record-ID", r.recordId)
+    noCrlf("WARC-Date", r.date)
+    noCrlf("Content-Type", r.contentType)
     line("WARC/1.0")
     line(s"WARC-Type: ${r.warcType}")
     line(s"WARC-Record-ID: <${r.recordId}>")

@@ -1,7 +1,5 @@
 package graft.warc
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,26 +37,38 @@ object WarcIO {
 
   /** Pages (url, content, contentType, fetchTime) -> WARC response
     * records. Null payloads (unfetched rows) are skipped, matching what a
-    * crawler archives. */
+    * crawler archives. The record id derives from (url, date), not the url
+    * alone: an export carries one record per FETCHED version ROW (several
+    * captures of one url across rounds), and WARC 1.0 requires globally
+    * unique ids. contentType flows from crawled-server data, so CR/LF are
+    * stripped before it becomes a header line (the codec rejects them). */
   def toRecords(rows: Iterator[(String, Array[Byte], String, Long)]): Iterator[WarcRecord] =
     rows.collect { case (url, content, contentType, fetchTime) if content != null =>
+      val date = warcDate(fetchTime)
       WarcRecord(
         warcType = "response",
         targetUri = url,
-        date = warcDate(fetchTime),
-        recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url),
+        date = date,
+        recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url + "\n" + date),
         contentType = if (contentType == null || contentType.isEmpty)
-          "application/octet-stream" else contentType,
+          "application/octet-stream"
+        else contentType.map(c => if (c == '\r' || c == '\n') ' ' else c),
         payload = content)
     }
 
   /** Export pages to `dir` as WARC, one file per partition; returns the
     * number of records written. Records stream to the file one at a time —
     * task memory is O(largest record), not O(archive), so the ~1 GB-file
-    * convention never hits the JVM array ceiling. */
+    * convention never hits the JVM array ceiling. All I/O goes through the
+    * Hadoop FileSystem API resolved from the path, so `dir` may live on
+    * HDFS/S3 in cluster mode — executor-local java.nio paths would scatter
+    * the export across worker disks. */
   def write(pages: DataFrame, dir: String): Long = {
     import pages.sparkSession.implicits._
-    Files.createDirectories(Paths.get(dir))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      pages.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
     pages
       .select(col("url"), col("content"), col("contentType"), col("fetchTime"))
       .as[(String, Array[Byte], String, Long)]
@@ -67,19 +77,25 @@ object WarcIO {
         val recs = toRecords(rows)
         if (!recs.hasNext) Iterator.empty
         else {
-          // write-then-atomic-rename: a speculative twin or retried attempt
-          // either sees the finished file or replaces it with identical
-          // bytes — never a half-truncated interleaving
-          val f = Paths.get(dir, f"part-$part%05d.warc")
-          val tmp = Paths.get(dir,
+          // write-then-rename: a speculative twin or retried attempt either
+          // sees the finished file or replaces it with identical bytes
+          // (file contents are deterministic) — never a half-truncated
+          // interleaving. HDFS rename is atomic; object stores degrade to
+          // copy but still never expose the tmp name as the final file.
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(hconf.value)
+          // no .crc sidecars in the archive dir (local FS is checksummed by
+          // default); WARC is length-framed and the decode loop is strict
+          fs.setWriteChecksum(false)
+          val f = new org.apache.hadoop.fs.Path(base, f"part-$part%05d.warc")
+          val tmp = new org.apache.hadoop.fs.Path(base,
             f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
-          val out = Files.newOutputStream(tmp, StandardOpenOption.CREATE,
-            StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+          val out = fs.create(tmp, true)
           var n = 0L
           try recs.foreach { r => out.write(WarcCodec.recordBytes(r)); n += 1 }
           finally out.close()
-          Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          if (fs.exists(f)) fs.delete(f, false)
+          fs.rename(tmp, f)
           Iterator.single(n)
         }
       }
@@ -90,11 +106,27 @@ object WarcIO {
     * ingest path: a third-party WARC dump becomes fetched pages a graft
     * crawl can parse / index / update from). Keys derive from the url
     * (uuid3); the record date becomes fetchTime; a FETCH marker stamps the
-    * given batch so the parse stage's mark filter picks the rows up. */
+    * given batch so the parse stage's mark filter picks the rows up.
+    *
+    * An archive may carry several captures of one url (one record per
+    * fetched version row on export); all import rows of one batch share a
+    * snapshot, where duplicate keys would resolve nondeterministically —
+    * so the import keeps exactly the latest capture per url (max
+    * (warc_date, record_id); ISO-8601 dates compare chronologically as
+    * strings). The reduce partial-aggregates map-side, so one shuffle
+    * moves at most one payload per url per map partition. Batch only —
+    * streaming ingest composes its own maps with StreamingDedup. */
   def toPages(records: Dataset[WarcRow],
       batchId: String = "warc-import", round: Int = 1): Dataset[graft.model.WebPage] = {
     import records.sparkSession.implicits._
-    records.filter(_.warc_type == "response").map { r =>
+    records.filter(_.warc_type == "response")
+      .groupByKey(_.url)
+      .reduceGroups { (a: WarcRow, b: WarcRow) =>
+        if (Ordering[(String, String)].gteq((a.warc_date, a.record_id),
+          (b.warc_date, b.record_id))) a else b
+      }
+      .map(_._2)
+      .map { r =>
       graft.model.WebPage(
         key = graft.url.UrlUtil.uuid3(r.url),
         url = r.url,

@@ -192,12 +192,16 @@ class TextCleaningSpec extends AnyFunSuite {
     val docs = docsOf(
       1L -> "good good bad",   // (0.6 + 0.6 - 0.3)/3 = 0.3
       2L -> "bad unknownword", // (-0.3 + 0.0)/2 = -0.15 (missing weight -> 0)
-      3L -> "   ")             // no tokens -> absent
+      3L -> "   ")             // no tokens -> null score, callers decide
     val out = TextAnalysis.hashedBowScore(docs, "doc_id", "text", weights, dim)
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
-    assert(out.keySet == Set(1L, 2L))
-    assert(math.abs(out(1L)._1 - 0.3) < 1e-12 && out(1L)._2 == 3L)
-    assert(math.abs(out(2L)._1 + 0.15) < 1e-12 && out(2L)._2 == 2L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(out(1L)._1.get - 0.3) < 1e-12 && out(1L)._2 == 3L)
+    assert(math.abs(out(2L)._1.get + 0.15) < 1e-12 && out(2L)._2 == 2L)
+    assert(out(3L)._1.isEmpty && out(3L)._2 == 0L)
   }
 
   test("wordCounts: term and doc counts with minCount pruning") {

@@ -60,6 +60,21 @@ class WarcSpec extends AnyFunSuite {
       base.copy(headers = Map("X-Bad" -> "v\r\nContent-Length: 0"))))
     intercept[IllegalArgumentException](WarcCodec.recordBytes(
       base.copy(targetUri = "http://a/1\r\nWARC-Type: fake")))
+    // canonical fields are header lines too: CR/LF in any of them desyncs
+    // the framing (contentType flows from crawled-server data)
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(contentType = "text/plain\r\nContent-Length: 0")))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(warcType = "response\r\nX-Fake: 1")))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(recordId = "urn:uuid:x\r\nX-Fake: 1")))
+    intercept[IllegalArgumentException](WarcCodec.recordBytes(
+      base.copy(date = "2026-01-01T00:00:00Z\r\nX-Fake: 1")))
+    // the IO layer sanitizes server-supplied content types before encode
+    val sanitized = WarcIO.toRecords(Iterator(
+      ("http://a/1", "x".getBytes("UTF-8"), "text/html\r\nEvil: 1", 0L))).next()
+    assert(sanitized.contentType == "text/html  Evil: 1")
+    WarcCodec.recordBytes(sanitized) // must not throw
     // a benign custom header still roundtrips
     val ok = WarcCodec.decode(WarcCodec.encode(Iterator(
       base.copy(headers = Map("X-Graft-Round" -> "7"))))).head
@@ -107,8 +122,11 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(row.payload, "UTF-8") == "body-7")
     assert(row.warc_type == "response")
     assert(row.warc_date == "2023-11-14T22:13:27Z")
-    assert(row.record_id == "urn:uuid:" +
-      graft.url.UrlUtil.uuid3("http://h1.example.com/p/7"))
+    // record ids are unique per CAPTURE (url, date), not per url — an
+    // export holds one record per fetched version row and WARC 1.0
+    // requires globally unique ids
+    assert(row.record_id == "urn:uuid:" + graft.url.UrlUtil.uuid3(
+      "http://h1.example.com/p/7\n2023-11-14T22:13:27Z"))
     // unfetched rows (null content) are skipped, not crashed on
     val withNulls = (Seq(("http://a/1", "x".getBytes("UTF-8"), "text/plain", 0L)) :+
         (("http://a/2", null.asInstanceOf[Array[Byte]], "text/plain", 0L)))
@@ -135,7 +153,9 @@ class WarcSpec extends AnyFunSuite {
     val fetched = crawl.table.currentView(spark).drop("snapshot_id")
       .where(col("status") === graft.model.CrawlStatus.FETCHED)
     // refetched pages carry one FETCHED version row per round (distinct
-    // version keys, same url) — the archive gets one record per ROW; the
+    // version keys, same url) — the archive gets one record per ROW, but
+    // the import dedupes to the latest capture per url (duplicate keys
+    // inside one snapshot would resolve nondeterministically); the
     // per-url payload hash is what must survive the roundtrip
     val nRows = fetched.count()
     val want = fetched.select(col("url"), md5(col("content")).as("h"))
@@ -149,7 +169,7 @@ class WarcSpec extends AnyFunSuite {
     val imported = WarcIO.toPages(WarcIO.read(spark, warcDir)).toDF()
       .select(col("url"), md5(col("content")).as("h"), col("key"))
       .collect()
-    assert(imported.length == nRows)
+    assert(imported.length == want.size)
     assert(imported.map(_.getString(0)).toSet == want.keySet)
     imported.foreach { r =>
       assert(want(r.getString(0)) == r.getString(1), r.getString(0))
@@ -179,6 +199,25 @@ class WarcSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(urls() == Set("http://s/1", "http://s/2", "http://s/3"))
     } finally q.stop()
+  }
+
+  test("toPages keeps the latest capture per url (unique keys per snapshot)") {
+    import spark.implicits._
+    import graft.warc.WarcRow
+    val rows = Seq(
+      WarcRow("http://d/1", "response", "2026-01-01T00:00:00Z", "urn:uuid:a",
+        "text/plain", "old".getBytes("UTF-8")),
+      WarcRow("http://d/1", "response", "2026-01-02T00:00:00Z", "urn:uuid:b",
+        "text/plain", "new".getBytes("UTF-8")),
+      WarcRow("http://d/2", "response", "2026-01-01T00:00:00Z", "urn:uuid:c",
+        "text/plain", "only".getBytes("UTF-8")),
+      WarcRow("http://d/3", "warcinfo", "2026-01-01T00:00:00Z", "urn:uuid:d",
+        "text/plain", "skip".getBytes("UTF-8"))).toDS()
+    val pages = WarcIO.toPages(rows).collect().sortBy(_.url)
+    assert(pages.map(_.url).toSeq == Seq("http://d/1", "http://d/2"))
+    assert(new String(pages(0).content, "UTF-8") == "new")
+    assert(pages(0).fetchTime ==
+      java.time.Instant.parse("2026-01-02T00:00:00Z").toEpochMilli)
   }
 
   test("toPages turns WARC responses into fetched frontier rows (warcimport)") {
