@@ -857,6 +857,44 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The COMPOSED cleaning recipe (ops/CorpusPipeline.clean) under the
+    * DuckDB gate — previously only the individual stages were oracled. A
+    * deterministic dirty corpus is synthesized per doc_id: a boilerplate
+    * short line (line filter must drop it), a French function-word line on
+    * every 5th doc (the language gate must drop the whole doc), a unique
+    * per-doc email (PII redaction must erase it BEFORE dedup so the %50
+    * content groups collapse to one winner), and a spam tail on doc_id%7==3
+    * (the Gopher repetition gates must drop it). The classifier gate then
+    * runs the 512-bucket hashing-trick model over the winners. The oracle
+    * replays every stage in SQL in the same order, so drift in any stage OR
+    * in their composition breaks row/hash parity. */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("Sentence one for group "), col("doc_id") % 50, lit(" is fine."),
+        lit("\n"), lit("short line"), lit("\n"),
+        when(col("doc_id") % 5 === 0,
+          lit("le la les et est une dans voila bien."))
+          .otherwise(lit("the and of to is in that good stuff.")), lit("\n"),
+        lit("Contact user"), col("doc_id"),
+        lit("@mail.example.com for details now."), lit("\n"),
+        // 8 distinct group-keyed nonsense words: their hashed-bucket
+        // weights are ~uniform in [-0.5,0.5), so the classifier's mean
+        // goes negative for some groups — the gate actually gates
+        concat(lit("Quality marker"),
+          concat_ws("", Seq("a", "b", "c", "d", "e", "f", "g", "h").map(sfx =>
+            concat(lit(" tok"), col("doc_id") % 50, lit(sfx))): _*),
+          lit(".")), lit("\n"),
+        when(col("doc_id") % 7 === 3,
+          concat(repeat(lit("spam ham "), 30), lit("end.")))
+          .otherwise(lit(""))).as("text"))
+    graft.ops.CorpusPipeline.clean(raw, "doc_id", "text",
+        langKeep = Seq("en"),
+        weights = Some(graft.ops.TextAnalysis.syntheticWeights(s, 512)),
+        classifierDim = 512)
+      .orderBy(col("doc_id"))
+  }
+
   /** B1-B4 as a driver-checked oracle (previously spec-only goldens): eight
     * messy-url templates — case/port/ref/dot-segment/session-id/empty-query
     * /&&-collapse shapes — run the full basic+regex normalizer chain as the
@@ -1141,6 +1179,7 @@ object Queries {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_line_filter" -> (qLineFilter _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_uuid3_key" -> (qUuid3Key _),
@@ -1734,6 +1773,113 @@ object Queries {
                 CAST(len(kept) AS INTEGER) AS lines_kept,
                 CAST(len(lines) - len(kept) AS INTEGER) AS lines_dropped
          FROM k WHERE len(kept) >= 1 ORDER BY doc_id""",
+    "q_corpus_pipeline" ->
+      // the composed pipeline replayed stage by stage: line filter ->
+      // language gate (argmax over de/en/es/fr profiles + zh block,
+      // tie-break = profile order) -> Gopher repetition gates (unrounded
+      // fractions, same thresholds) -> PII chain -> exact dedup (min id
+      // per content hash) -> hashing-trick classifier gate (sum of
+      // integer milli-weights > 0 <=> mean double weight > 0)
+      s"""WITH raw AS (
+           SELECT doc_id,
+                  'Sentence one for group ' || (doc_id % 50) || ' is fine.' || chr(10) ||
+                  'short line' || chr(10) ||
+                  CASE WHEN doc_id % 5 = 0
+                    THEN 'le la les et est une dans voila bien.'
+                    ELSE 'the and of to is in that good stuff.' END || chr(10) ||
+                  'Contact user' || doc_id || '@mail.example.com for details now.' || chr(10) ||
+                  'Quality marker tok' || (doc_id % 50) || 'a tok' || (doc_id % 50) ||
+                  'b tok' || (doc_id % 50) || 'c tok' || (doc_id % 50) ||
+                  'd tok' || (doc_id % 50) || 'e tok' || (doc_id % 50) ||
+                  'f tok' || (doc_id % 50) || 'g tok' || (doc_id % 50) || 'h.' || chr(10) ||
+                  CASE WHEN doc_id % 7 = 3 THEN repeat('spam ham ', 30) || 'end.'
+                       ELSE '' END AS t
+           FROM documents),
+         l1 AS (
+           SELECT doc_id, kept FROM (
+             SELECT doc_id,
+                    list_filter(list_filter(list_transform(
+                        string_split(t, chr(10)), l -> trim(l)), l -> l <> ''),
+                      l -> regexp_matches(l, '[.!?]["'']?$$')
+                        AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                          w -> w <> '')) >= 3
+                        AND NOT (contains(lower(l), 'javascript')
+                          OR contains(lower(l), 'lorem ipsum')
+                          OR contains(lower(l), 'cookie policy'))) AS kept
+             FROM raw)
+           WHERE len(kept) >= 1),
+         t1 AS (SELECT doc_id, array_to_string(kept, chr(10)) AS t FROM l1),
+         sc AS (
+           SELECT doc_id, t,
+             len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+               w -> w IN ('der','und','die','das','ist','nicht','ein'))) AS s_de,
+             len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+               w -> w IN ('the','and','of','to','is','in','that'))) AS s_en,
+             len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+               w -> w IN ('el','los','las','es','una','y','que'))) AS s_es,
+             len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+               w -> w IN ('le','la','les','et','est','une','dans'))) AS s_fr,
+             len(t) - len(regexp_replace(t, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+           FROM t1),
+         t2 AS (
+           SELECT doc_id, t FROM sc
+           WHERE greatest(s_de, s_en, s_es, s_fr, s_zh) >= 1
+             AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+             AND s_de < s_en),
+         base AS (
+           SELECT doc_id, t, ws, len(array_to_string(ws, ' ')) AS n_chars,
+                  len(ws) AS n_tokens, len(list_distinct(ws)) AS n_distinct
+           FROM (SELECT doc_id, t,
+                   list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                     w -> w <> '') AS ws FROM t2)
+           WHERE len(ws) > 0),
+         g2 AS (
+           SELECT doc_id, any_value(n_chars) AS nc,
+                  array_to_string(ws[i:i+1], ' ') AS g, count(*) AS cnt
+           FROM base, unnest(range(1, n_tokens)) AS x(i)
+           GROUP BY doc_id, g),
+         g5 AS (
+           SELECT doc_id, any_value(n_chars) AS nc,
+                  array_to_string(ws[i:i+4], ' ') AS g, count(*) AS cnt
+           FROM base, unnest(range(1, n_tokens - 3)) AS x(i)
+           GROUP BY doc_id, g),
+         tg AS (
+           SELECT doc_id, least(1.0, max(cnt * len(g)) * 1.0 / any_value(nc)) AS top_gram_frac
+           FROM g2 GROUP BY doc_id),
+         dg AS (
+           SELECT doc_id,
+                  least(1.0, sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) * 1.0
+                        / any_value(nc)) AS dup_gram_frac
+           FROM g5 GROUP BY doc_id),
+         t3 AS (
+           SELECT b.doc_id, b.t
+           FROM base b LEFT JOIN tg USING (doc_id) LEFT JOIN dg USING (doc_id)
+           WHERE n_distinct * 1.0 / n_tokens >= 0.3
+             AND coalesce(top_gram_frac, 0) <= 0.5
+             AND coalesce(dup_gram_frac, 0) <= 0.5),
+         t4 AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    '${graft.ops.TextCleaning.EmailPattern}', '<EMAIL>', 'g'),
+                    '${graft.ops.TextCleaning.Ipv4Pattern}', '<IP>', 'g'),
+                    '${graft.ops.TextCleaning.PhonePattern}', '<PHONE>', 'g') AS t
+           FROM t3),
+         w5 AS (SELECT md5(t) AS h, min(doc_id) AS doc_id FROM t4 GROUP BY h),
+         t5 AS (SELECT t4.doc_id, t4.t FROM t4 JOIN w5 USING (doc_id)),
+         toks6 AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                    w -> w <> '')) AS word
+           FROM t5),
+         m6 AS (
+           SELECT doc_id,
+                  sum((('0x' || substr(md5('w' ||
+                    (('0x' || substr(md5(word), 1, 10))::BIGINT % 512)), 1, 10))::BIGINT
+                    % 1000) - 500) AS summ
+           FROM toks6 GROUP BY doc_id)
+         SELECT t5.doc_id, t5.t AS text
+         FROM t5 JOIN (SELECT doc_id FROM m6 WHERE summ > 0) k USING (doc_id)
+         ORDER BY t5.doc_id""",
     "q_quality_classifier" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -6,27 +6,36 @@ import org.apache.spark.sql.functions._
 /** The canonical corpus-cleaning recipe, composed from the first-class ops:
   *
   *  1. line-level C4 filtering    (TextCleaning.lineFilter)
-  *  2. Gopher repetition gates    (TextCleaning.repetitionStats)
-  *  3. PII redaction              (TextCleaning.redactPii)
-  *  4. exact dedup                (content-hash arg-min, keep min id)
-  *  5. quality-classifier gate    (TextAnalysis.hashedBowScore, optional)
-  *  6. cross-corpus span dedup    (TextCleaning.dedupSpans, optional)
+  *  2. language-ID gate           (TextAnalysis.detectLang, optional)
+  *  3. Gopher repetition gates    (TextCleaning.repetitionStats)
+  *  4. PII redaction              (TextCleaning.redactPii)
+  *  5. exact dedup                (content-hash arg-min, keep min id)
+  *  6. quality-classifier gate    (TextAnalysis.hashedBowScore, optional)
+  *  7. cross-corpus span dedup    (TextCleaning.dedupSpans, optional)
   *
   * Each stage is exactly the underlying op's plan — the composition adds
   * no shuffle of its own beyond the ops' documented ones, and document
-  * text rides only the per-row projection stages (1, 3) plus the final
-  * span rebuild; the gates (2, 4, 5) shuffle ids and short keys only.
+  * text rides only the per-row projection stages (1, 2, 4) plus the final
+  * span rebuild; the gates (3, 5, 6) shuffle ids and short keys only.
   * Stage order is deliberate: line noise is removed before repetition
-  * statistics (boilerplate lines would dominate the n-gram counters),
-  * redaction runs before hashing so two documents differing only in PII
-  * dedup together, and span dedup runs last because it is the only stage
-  * that rewrites text across documents.
+  * statistics (boilerplate lines would dominate the n-gram counters), the
+  * language gate runs right after line filtering — the pretraining-corpus
+  * convention: every later stage (stopword-profile scoring included) is
+  * language-dependent, so off-language docs leave the pipeline first and
+  * never ride a shuffle — redaction runs before hashing so two documents
+  * differing only in PII dedup together, and span dedup runs last because
+  * it is the only stage that rewrites text across documents.
   */
 object CorpusPipeline {
 
   def clean(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 3, minLines: Int = 1,
       blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "cookie policy"),
+      langKeep: Seq[String] = Seq.empty,
+      langProfiles: Seq[(String, Seq[String])] = TextAnalysis.LangProfiles,
+      langScriptLangs: Seq[(String, String)] = Seq.empty,
+      langCjk: Option[String] = Some("zh"),
+      minLangScore: Int = 1,
       minDistinctFrac: Double = 0.3,
       maxTopGramFrac: Double = 0.5, maxDupGramFrac: Double = 0.5,
       weights: Option[DataFrame] = None, classifierDim: Int = 1 << 16,
@@ -39,19 +48,31 @@ object CorpusPipeline {
       .lineFilter(docs, idCol, textCol, minWords, minLines, blocklist)
       .select(id, col("clean_text").as(textCol))
 
-    // 2. repetition gates (ids + grams shuffle; text stays behind and is
+    // 2. optional language gate (no shuffle — a pure codegen'd projection
+    // filter): keep docs whose argmax profile is in `langKeep` AND whose
+    // winning score clears `minLangScore` (the low-evidence cutoff the
+    // reference's identifier applies)
+    val langGated =
+      if (langKeep.isEmpty) lined
+      else lined.where(
+        TextAnalysis.detectLang(col(textCol), langProfiles, langCjk, langScriptLangs)
+          .isin(langKeep: _*) &&
+        TextAnalysis.detectLangScore(col(textCol), langProfiles, langScriptLangs,
+          langCjk) >= minLangScore)
+
+    // 3. repetition gates (ids + grams shuffle; text stays behind and is
     // joined back by id)
-    val reps = TextCleaning.repetitionStats(lined, idCol, textCol)
+    val reps = TextCleaning.repetitionStats(langGated, idCol, textCol)
       .where(col("distinct_frac") >= minDistinctFrac &&
         col("top_gram_frac") <= maxTopGramFrac &&
         col("dup_gram_frac") <= maxDupGramFrac)
       .select(id)
-    val gated = lined.join(reps, Seq(idCol), "left_semi")
+    val gated = langGated.join(reps, Seq(idCol), "left_semi")
 
-    // 3. PII redaction (no shuffle)
+    // 4. PII redaction (no shuffle)
     val redacted = gated.select(id, TextCleaning.redactPii(col(textCol)).as(textCol))
 
-    // 4. exact dedup: arg-min id per content hash — (hash, id) shuffle
+    // 5. exact dedup: arg-min id per content hash — (hash, id) shuffle
     // only, winners joined back by id
     val winners = redacted
       .select(id, md5(col(textCol)).as("__h"))
@@ -59,7 +80,7 @@ object CorpusPipeline {
       .select(id)
     val deduped = redacted.join(winners, Seq(idCol), "left_semi")
 
-    // 5. optional classifier gate ((id, bucket) shuffle). Token-less docs
+    // 6. optional classifier gate ((id, bucket) shuffle). Token-less docs
     // score null; null > minScore is not-true, so they drop here — the
     // deliberate choice for a cleaning recipe (a doc with no tokens after
     // line filtering carries no trainable text)
@@ -72,7 +93,7 @@ object CorpusPipeline {
       case None => deduped
     }
 
-    // 6. optional cross-corpus span dedup (rebuilds text)
+    // 7. optional cross-corpus span dedup (rebuilds text)
     if (spanK > 0)
       TextCleaning.dedupSpans(scored, idCol, textCol, spanK)
         .where(col("spans_kept") > 0)

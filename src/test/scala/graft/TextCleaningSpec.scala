@@ -178,6 +178,35 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(spanned(1L).nonEmpty)
   }
 
+  test("CorpusPipeline.clean: language gate keeps only langKeep docs") {
+    import graft.ops.{CorpusPipeline, TextAnalysis}
+    val docs = docsOf(
+      1L -> "The cat and the dog are friends, that is known to all of us.",
+      2L -> "Der Hund und die Katze sind nicht ein Paar, das ist bekannt.",
+      3L -> "Le chat et le chien sont dans la maison et la vie est une joie.",
+      4L -> "The weather today is quite nice and the sun is out in force.")
+    // gate off (default): language never filters
+    val all = CorpusPipeline.clean(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+    // keep English only
+    val en = CorpusPipeline.clean(docs, "doc_id", "text", langKeep = Seq("en"))
+      .collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 4L))
+    // keep German+French
+    val defr = CorpusPipeline.clean(docs, "doc_id", "text",
+        langKeep = Seq("de", "fr"))
+      .collect().map(_.getLong(0)).toSet
+    assert(defr == Set(2L, 3L))
+    // minLangScore: an unclassifiable doc (no profile hits anywhere) never
+    // passes the gate even though argmax falls back to the first profile
+    val docs2 = docsOf(5L -> "Zzz qqq www rrr ttt yyy uuu vvv mmm nnn xxx.")
+    val none = CorpusPipeline.clean(docs2, "doc_id", "text",
+        langKeep = TextAnalysis.LangProfiles.map(_._1) :+ "zh")
+      .collect().map(_.getLong(0)).toSet
+    assert(none.isEmpty)
+  }
+
   test("hashedBowScore: bucket hashing, broadcast weights, unweighted buckets count as 0") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextAnalysis}
