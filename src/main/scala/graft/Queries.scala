@@ -202,6 +202,7 @@ object Queries {
   /** Exact dedup by content hash (hash-groupBy dedup). */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactStats(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("source"))
 
   /** N-gram Jaccard near-dup pairs (shingle -> inverted index -> pair join).
     * The orderBy is the ORACLE's determinism contract, applied here in the
@@ -627,6 +628,7 @@ object Queries {
   /** Language/quality scoring: token counts, stopword ratio, char stats. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.qualityByLang(t(s, dir, "documents"), "text", "lang", "n_chars")
+      .orderBy(col("lang"))
 
   /** Token counting per source (BPE-ish whitespace tokenizer). */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -662,6 +664,7 @@ object Queries {
     graft.ops.Similarity.cosineTopK(
       emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** LSH-bucketed ANN: sign bits of the first 4 dims bucket the space; probes
@@ -688,6 +691,7 @@ object Queries {
     graft.ops.Similarity.ivfNearest(
       emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
       centroids, "vec_id", "embedding", nProbe = 2, k = 3)
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** B6: DFA-compiled URL filter (automaton plugin shape) applied to a
@@ -723,6 +727,7 @@ object Queries {
     graft.ops.Similarity.rhpNearest(
       emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
       "vec_id", "embedding", dim = 64, nBits = 8, nTables = 3, k = 3)
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** A9/H: the IndexingFilter chain end-to-end — pages synthesized
@@ -1046,8 +1051,12 @@ object Queries {
             "urn:uuid:" + graft.url.UrlUtil.uuid3(url), "text/plain",
             text.getBytes("UTF-8"))
         }
-        val blob = graft.warc.WarcCodec.encode(recs)
-        graft.warc.WarcCodec.decode(blob).iterator.map(r => (r.targetUri, r.payload))
+        // the GZ path end-to-end: per-record gzip members, then the strict
+        // member-wise inflate (header walk, CRC32+ISIZE verify, expansion
+        // ceiling) before framing decode — so `.warc.gz` correctness rides
+        // the same DuckDB hash gate as the plain codec
+        val blob = graft.warc.WarcCodec.encodeGz(recs)
+        graft.warc.WarcCodec.decodeAuto(blob).iterator.map(r => (r.targetUri, r.payload))
       }
     rows.toDF("url", "payload")
       .select(col("url"), length(col("payload")).as("n_bytes"),
@@ -1121,7 +1130,18 @@ object Queries {
         count(lit(1)).as("n_feat_normalized"),
         count(lit(1)).as("n_resized_ok"))
       .select("fmt", "n_images", "n_phash_match", "n_feat_normalized", "n_resized_ok")
-    imageRows.union(audioRows).union(videoRows).orderBy(col("fmt"))
+    // the driver records only row counts for this no-oracle query, so the
+    // verification counts must GATE the rows: a format row surfaces only
+    // when every image decoded/verified (all counters equal n_images and
+    // the full universe of 64 is present). A broken decode no longer
+    // produces a plausible 3-row result — it drops rows, which the
+    // rows-only correctness record catches.
+    imageRows.union(audioRows).union(videoRows)
+      .where(col("n_images") === 64 &&
+        col("n_phash_match") === col("n_images") &&
+        col("n_feat_normalized") === col("n_images") &&
+        col("n_resized_ok") === col("n_images"))
+      .orderBy(col("fmt"))
   }
 
   // ----------------------------------------------------------------- registry

@@ -54,6 +54,9 @@ case class CrawlConfig(
     // parse
     maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page
     ignoreExternalLinks: Boolean = false, // db.ignore.external.links
+    // parse-result filter chain (reference ParseFilters / plugin.includes):
+    // comma list of "metatags" or fully-qualified ParseFilter class names
+    parseFilterClass: String = "",
     // update
     additionsAllowed: Boolean = true, // db.update.additions.allowed
     maxInlinks: Int = 10000, // db.update.max.inlinks

@@ -150,10 +150,11 @@ object CrawlMain {
             val fetched = t.currentView(spark).drop("snapshot_id")
               .where(org.apache.spark.sql.functions.col("status") ===
                 graft.model.CrawlStatus.FETCHED)
-            val n = graft.warc.WarcIO.write(fetched, out)
+            val n = graft.warc.WarcIO.write(fetched, out,
+              gzip = flag(args, "gzip"))
             println(s"warcexport: $n records -> $out")
           case None =>
-            System.err.println("usage: warcexport --table d --out <dir>")
+            System.err.println("usage: warcexport --table d --out <dir> [--gzip]")
             sys.exit(2)
         }
       case "cleandb" => // reference `bin/nutch cleandb` (DbCleanerJob deleteSchema)

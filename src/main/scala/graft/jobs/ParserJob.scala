@@ -28,9 +28,12 @@ object ParserJob {
     * perceptual hash. */
   val PhashMeta = "phash"
 
-  /** Pure single-page parse, shared with refsim. */
+  /** Pure single-page parse, shared with refsim. `parseFilter` is the
+    * parse-result hook chain (reference ParseFilters run inside
+    * ParseUtil.process) — it sees the finished parse and may mutate it. */
   def parsePage(page: WebPage, conf: CrawlConfig, source: OutlinkSource,
-      filter: UrlFilter, batchId: String): WebPage = {
+      filter: UrlFilter, batchId: String,
+      parseFilter: ParseFilter = ParseFilters.Identity): WebPage = {
     if (page.status != CrawlStatus.FETCHED) return page
     if (!page.markers.get(Marks.FETCH).contains(batchId)) return page
     if (page.content == null || page.content.isEmpty) return page
@@ -81,7 +84,7 @@ object ParserJob {
       signature = sig,
       outlinks = outlinks,
       parseStatus = ParseStatus(ParseStatusCodes.Success, 0, Seq.empty))
-    Marks.put(withParse, Marks.PARSE, batchId)
+    Marks.put(parseFilter.filter(page, withParse), Marks.PARSE, batchId)
   }
 
   def parse(spark: SparkSession, fetched: Dataset[WebPage], conf: CrawlConfig,
@@ -91,8 +94,11 @@ object ParserJob {
     val c = conf
     val s = source
     val b = batchId
+    // resolve the chain once on the driver; the instances serialize into
+    // the executor closure (they are pure row transforms)
+    val pf = ParseFilters(conf)
     fetched.map { p =>
-      val parsed = parsePage(p, c, s, filter, b)
+      val parsed = parsePage(p, c, s, filter, b, pf)
       // fetcher.store.content=false: the payload served the inline parse;
       // drop it before the table write so content bytes never enter the
       // frontier-state shuffles (reference: FetcherReducer.output:640-652)

@@ -22,7 +22,7 @@ object Dedup {
   def exactStats(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
     docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"), countDistinct(md5(col(textCol))).as("n_unique"))
-      .orderBy(col(groupCol))
+  // no orderBy tail (see ngramJaccardPairs note) — Queries.q_* sorts
 
   /** Distinct word n-gram shingles per document: (idCol, shingle).
     *

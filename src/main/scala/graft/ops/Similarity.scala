@@ -30,9 +30,10 @@ object Similarity {
     val joined = p.crossJoin(c)
       .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    // no orderBy tail: output is Q*k rows but pipeline callers must not
+    // pay a global sort — presentation layers (Queries.q_*) add their own
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col(idCol).as("neighbor"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   /** Sign-bit LSH bucket of the first `nBits` dimensions — the TEACHING
@@ -230,7 +231,7 @@ object Similarity {
       .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("cand").as("neighbor"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    // no orderBy tail (see cosineTopK note)
   }
 
   /** Random-hyperplane ANN top-k: bucket-join candidates, exact cosine on
@@ -246,7 +247,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("cid").as("neighbor"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    // no orderBy tail (see cosineTopK note)
   }
 
   /** LSH-bucketed approximate nearest neighbour: probes join only their own
@@ -263,7 +264,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("bucket"), col(idCol).as("neighbor"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    // no orderBy tail (see cosineTopK note)
   }
 }
 
@@ -461,5 +462,6 @@ object TextAnalysis {
         round(avg(col("n_tokens")), 4).as("avg_tokens"),
         round(avg(col(charsCol)), 2).as("avg_chars"),
         round(avg(col("n_stop").cast("double") / col("n_tokens")), 4).as("stop_ratio"))
-      .orderBy(col(langCol))
+  // no orderBy tail: per-language output is tiny, but the op stays
+  // sort-free like the rest of the family — presentation layers sort
 }

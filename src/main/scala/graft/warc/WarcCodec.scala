@@ -93,6 +93,107 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** One record as ONE gzip member — the `.warc.gz` convention real-world
+    * archive corpora ship in (member-per-record, so members concatenate
+    * into a valid multi-member stream and a reader can split the file at
+    * member boundaries without inflating everything). Java's gzip header
+    * carries no mtime/name here, so output is deterministic. */
+  def recordBytesGz(r: WarcRecord): Array[Byte] = {
+    val bytes = recordBytes(r)
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.finish(); gz.close()
+    out.toByteArray
+  }
+
+  def encodeGz(records: Iterator[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach(r => out.write(recordBytesGz(r)))
+    out.toByteArray
+  }
+
+  /** True when the bytes open with the gzip magic (a `.warc.gz` blob). */
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Sniff-and-decode: transparent member-wise inflate for `.warc.gz`
+    * blobs (bounded by `maxInflated`), plain decode otherwise. */
+  def decodeAuto(bytes: Array[Byte], maxInflated: Long = DefaultMaxInflated): Seq[WarcRecord] =
+    if (isGzip(bytes)) decode(gunzipStrict(bytes, maxInflated)) else decode(bytes)
+
+  /** 1 GiB — a whole-file inflate must fit a JVM array anyway (the
+    * large-scale convention is many ~1 GB archive files, one per task). */
+  val DefaultMaxInflated: Long = 1L << 30
+
+  /** Strict multi-member gzip inflate with an expansion ceiling (the
+    * bounded-decode guard the HTTP path's `unzipBestEffort` is the lenient
+    * cousin of — an ARCHIVE decode must fail loudly, not truncate
+    * silently). Every byte of input must belong to a well-formed member:
+    * headers are parsed field by field, each member's deflate stream is
+    * inflated with raw Inflater (so a truncated or corrupt stream raises
+    * instead of being swallowed the way GZIPInputStream drops a garbage
+    * tail), and each member's CRC32 + ISIZE trailer is verified. */
+  def gunzipStrict(bytes: Array[Byte], maxOut: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream(
+      math.min(math.min(bytes.length.toLong * 4, maxOut), 1L << 20).toInt)
+    var pos = 0
+    while (pos < bytes.length) pos = inflateMember(bytes, pos, out, maxOut)
+    out.toByteArray
+  }
+
+  /** Inflate the gzip member starting at `start`; returns the offset just
+    * past its trailer. */
+  private def inflateMember(b: Array[Byte], start: Int,
+      out: ByteArrayOutputStream, maxOut: Long): Int = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt gzip at offset $start: $msg")
+    if (start + 10 > b.length) fail("truncated member header")
+    if ((b(start) & 0xff) != 0x1f || (b(start + 1) & 0xff) != 0x8b)
+      fail("bad gzip magic")
+    if (b(start + 2) != 8) fail(s"unsupported compression method ${b(start + 2)}")
+    val flg = b(start + 3) & 0xff
+    var p = start + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + payload
+      if (p + 2 > b.length) fail("truncated FEXTRA")
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    }
+    def skipZeroTerminated(): Unit = {
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 8) != 0) skipZeroTerminated() // FNAME
+    if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p > b.length) fail("truncated header fields")
+    val inf = new java.util.zip.Inflater(true)
+    val crc = new java.util.zip.CRC32
+    val buf = new Array[Byte](8192)
+    var produced = 0L
+    try {
+      inf.setInput(b, p, b.length - p)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"bad deflate stream: ${e.getMessage}") }
+        if (n == 0 && inf.needsInput()) fail("truncated deflate stream")
+        if (out.size().toLong + n > maxOut)
+          fail(s"inflated size exceeds the $maxOut-byte ceiling")
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+        produced += n
+      }
+      val trailer = p + (b.length - p - inf.getRemaining)
+      if (trailer + 8 > b.length) fail("truncated member trailer")
+      def le32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      if (le32(trailer) != crc.getValue) fail("CRC32 mismatch")
+      if (le32(trailer + 4) != (produced & 0xffffffffL)) fail("ISIZE mismatch")
+      trailer + 8
+    } finally inf.end()
+  }
+
   /** Parse a WARC file's bytes into records. Strict: any structural
     * violation (bad magic, missing Content-Length, a length past the end
     * of the buffer, an unterminated header block) raises with the byte

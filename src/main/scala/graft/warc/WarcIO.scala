@@ -62,8 +62,10 @@ object WarcIO {
     * convention never hits the JVM array ceiling. All I/O goes through the
     * Hadoop FileSystem API resolved from the path, so `dir` may live on
     * HDFS/S3 in cluster mode — executor-local java.nio paths would scatter
-    * the export across worker disks. */
-  def write(pages: DataFrame, dir: String): Long = {
+    * the export across worker disks. With `gzip = true` the files are
+    * `.warc.gz` with one gzip member per record (the Common-Crawl-style
+    * interchange convention — see WarcCodec.recordBytesGz). */
+  def write(pages: DataFrame, dir: String, gzip: Boolean = false): Long = {
     import pages.sparkSession.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       pages.sparkSession.sparkContext.hadoopConfiguration)
@@ -87,12 +89,17 @@ object WarcIO {
           // no .crc sidecars in the archive dir (local FS is checksummed by
           // default); WARC is length-framed and the decode loop is strict
           fs.setWriteChecksum(false)
-          val f = new org.apache.hadoop.fs.Path(base, f"part-$part%05d.warc")
+          val ext = if (gzip) "warc.gz" else "warc"
+          val f = new org.apache.hadoop.fs.Path(base, f"part-$part%05d.$ext%s")
           val tmp = new org.apache.hadoop.fs.Path(base,
             f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
           val out = fs.create(tmp, true)
           var n = 0L
-          try recs.foreach { r => out.write(WarcCodec.recordBytes(r)); n += 1 }
+          try recs.foreach { r =>
+            out.write(if (gzip) WarcCodec.recordBytesGz(r)
+              else WarcCodec.recordBytes(r))
+            n += 1
+          }
           finally out.close()
           if (fs.exists(f)) fs.delete(f, false)
           fs.rename(tmp, f)
@@ -142,11 +149,13 @@ object WarcIO {
     }
   }
 
-  /** Ingest a directory of `.warc` files as a Dataset of records. */
+  /** Ingest a directory of `.warc` / `.warc.gz` files as a Dataset of
+    * records (gz archives inflate member-wise with the strict bounded
+    * decoder — see WarcCodec.gunzipStrict). */
   def read(spark: SparkSession, dir: String): Dataset[WarcRow] = {
     import spark.implicits._
     toRows(spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(dir)
       .select(col("content")).as[Array[Byte]])
   }
@@ -174,14 +183,14 @@ object WarcIO {
     import spark.implicits._
     toRows(spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(dir)
       .select(col("content")).as[Array[Byte]])
   }
 
   private def toRows(files: Dataset[Array[Byte]]): Dataset[WarcRow] = {
     import files.sparkSession.implicits._
-    files.flatMap(bytes => WarcCodec.decode(bytes).map(r =>
+    files.flatMap(bytes => WarcCodec.decodeAuto(bytes).map(r =>
       WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
         r.payload)))
   }

@@ -71,8 +71,25 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, 7L), (2L, 7L)).toDF("id", "ph"), "id", "ph")) == 0)
     assert(globalSorts(graft.ops.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.9)) == 0)
+    // the top-k ANN wrappers and the grouped-stats ops are sort-free too
+    // (their Window ORDER BY is per-partition, not a global Sort)
+    assert(globalSorts(graft.ops.Similarity.cosineTopK(emb, emb,
+      "vec_id", "embedding", k = 1)) == 0)
+    assert(globalSorts(graft.ops.Similarity.lshNearest(emb, emb,
+      "vec_id", "embedding", nBits = 2, k = 1)) == 0)
+    assert(globalSorts(graft.ops.Similarity.rhpNearest(emb, emb,
+      "vec_id", "embedding", dim = 64, nBits = 4, nTables = 2, k = 1)) == 0)
+    val cents = Seq((1, Seq.fill(64)(0.5))).toDF("cid", "centroid")
+    assert(globalSorts(graft.ops.Similarity.ivfNearest(emb, emb, cents,
+      "vec_id", "embedding", nProbe = 1, k = 1)) == 0)
+    assert(globalSorts(graft.ops.Dedup.exactStats(docs, "text", "doc_id")) == 0)
+    assert(globalSorts(graft.ops.TextAnalysis.qualityByLang(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text"))),
+      "text", "lang", "n_chars")) == 0)
     // the query wrapper re-adds the oracle's deterministic order
     assert(globalSorts(Queries.all("q_dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")) == 1)
+    assert(globalSorts(Queries.all("q_embed_cosine_topk")(spark, "/root/testdata/sf0.001")) == 1)
   }
 
   test("phash near-dup: pigeonhole banding equals brute-force ground truth") {

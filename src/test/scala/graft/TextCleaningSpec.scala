@@ -178,6 +178,39 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(spanned(1L).nonEmpty)
   }
 
+  test("CorpusPipeline.clean: classifier gate with a parquet-loaded model " +
+      "(the real-model seam)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{CorpusPipeline, Dedup, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = 256
+    // "train" a model offline: good-class words get positive weights, the
+    // junk class negative — and persist it as the (bucket, weight) parquet
+    // table a production run would load
+    def bucketOf(w: String): Long = spark.range(1)
+      .select(pmod(Dedup.hash40(lit(w)), lit(dim.toLong))).head.getLong(0)
+    val goodWords = Seq("informative", "article", "research")
+    val junkWords = Seq("casino", "viagra", "winner")
+    val weightsPath = SparkTestBase.tmpDir("clf-weights")
+    (goodWords.map(w => (bucketOf(w), 1.0)) ++
+        junkWords.map(w => (bucketOf(w), -1.0)))
+      .toDF("bucket", "weight")
+      .write.mode("overwrite").parquet(weightsPath)
+    val model = spark.read.parquet(weightsPath)
+    val docs = docsOf(
+      1L -> "An informative article about research topics appears here today.",
+      2L -> "You are the casino winner, claim viagra now, lucky person.")
+    val kept = CorpusPipeline.clean(docs, "doc_id", "text",
+        weights = Some(model), classifierDim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+    // the raw scores behave as the model says (positive vs negative mean)
+    val scores = TextAnalysis.hashedBowScore(docs, "doc_id", "text", model, dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0 && scores(2L) < 0)
+  }
+
   test("CorpusPipeline.clean: language gate keeps only langKeep docs") {
     import graft.ops.{CorpusPipeline, TextAnalysis}
     val docs = docsOf(

@@ -201,6 +201,74 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gz roundtrip: per-record gzip members, strict member-wise inflate") {
+    val recs = Seq(
+      rec("http://g/1", "plain payload".getBytes("UTF-8")),
+      rec("http://g/2", "\r\n\r\nWARC/1.0\r\nfake\r\n\r\n".getBytes("UTF-8")),
+      rec("http://g/3", Array.fill[Byte](10000)(7)), // compressible run
+      rec("http://g/4", Array.emptyByteArray))
+    val gz = WarcCodec.encodeGz(recs.iterator)
+    assert(WarcCodec.isGzip(gz))
+    // member-per-record: 4 gzip magics in the stream
+    val magics = gz.sliding(2).count(p =>
+      (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(magics == 4)
+    val back = WarcCodec.decodeAuto(gz)
+    assert(back.size == 4)
+    recs.zip(back).foreach { case (in, out) =>
+      assert(out.targetUri == in.targetUri)
+      assert(out.payload.sameElements(in.payload), in.targetUri)
+    }
+    // concatenating two archives is still a valid multi-member stream
+    assert(WarcCodec.decodeAuto(gz ++ gz).size == 8)
+    // plain blobs pass through decodeAuto unchanged
+    assert(WarcCodec.decodeAuto(WarcCodec.encode(recs.iterator)).size == 4)
+  }
+
+  test("gunzipStrict is strict and bounded") {
+    val one = WarcCodec.recordBytesGz(rec("http://g/1", "abcdef".getBytes))
+    // expansion ceiling: a member inflating past maxOut raises
+    val big = WarcCodec.recordBytesGz(rec("http://g/2", new Array[Byte](100000)))
+    val e0 = intercept[IllegalArgumentException](WarcCodec.gunzipStrict(big, 1000))
+    assert(e0.getMessage.contains("ceiling"))
+    // truncated final member raises (GZIPInputStream would swallow this)
+    val e1 = intercept[IllegalArgumentException](
+      WarcCodec.gunzipStrict(one.dropRight(12), 1 << 20))
+    assert(e1.getMessage.contains("corrupt gzip"))
+    // corrupt CRC trailer raises
+    val crcBad = one.clone(); crcBad(one.length - 8) = (crcBad(one.length - 8) ^ 0xff).toByte
+    val e2 = intercept[IllegalArgumentException](WarcCodec.gunzipStrict(crcBad, 1 << 20))
+    assert(e2.getMessage.contains("CRC32"))
+    // garbage BETWEEN members raises instead of silently dropping the tail
+    val garbage = one ++ "not gzip at all".getBytes("UTF-8") ++ one
+    val e3 = intercept[IllegalArgumentException](WarcCodec.gunzipStrict(garbage, 1 << 20))
+    assert(e3.getMessage.contains("bad gzip magic"))
+    // flipped deflate byte raises (CRC or stream error, never silence)
+    val mid = one.clone(); mid(15) = (mid(15) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](WarcCodec.gunzipStrict(mid, 1 << 20))
+  }
+
+  test("gz export -> read -> import roundtrip (warcexport --gzip)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestBase.tmpDir("warc-gz")
+    val pages = (0 until 23).map(i =>
+        (s"http://gz${i % 3}.example.com/p/$i", s"payload-$i".getBytes("UTF-8"),
+          "text/plain", 1700000000000L + i * 1000))
+      .toDF("url", "content", "contentType", "fetchTime")
+      .repartition(3)
+    assert(WarcIO.write(pages, dir, gzip = true) == 23)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.nonEmpty && files.forall(_.matches("part-\\d{5}\\.warc\\.gz")))
+    val back = WarcIO.read(spark, dir)
+    assert(back.count() == 23)
+    val row = back.filter(col("url") === "http://gz1.example.com/p/7").collect().head
+    assert(new String(row.payload, "UTF-8") == "payload-7")
+    val imported = WarcIO.toPages(back, batchId = "gzb").collect()
+    assert(imported.length == 23)
+    assert(imported.forall(_.status == graft.model.CrawlStatus.FETCHED))
+  }
+
   test("toPages keeps the latest capture per url (unique keys per snapshot)") {
     import spark.implicits._
     import graft.warc.WarcRow
