@@ -862,6 +862,26 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-training under the driver gate: every document carries the
+    * classic merge-training corpus (low*5 lower*2 newest*6 widest*3), so
+    * term counts are a uniform multiple of the per-doc counts and the
+    * learned merge sequence is scale-invariant. The oracle states the
+    * hand-computed (independently verified) 8-merge sequence literally —
+    * any drift in pair counting (overlaps), the argmax tie-break, or
+    * left-to-right merge application changes the sequence. `per_doc_count`
+    * divides the corpus pair count back by n_docs in-plan, making the
+    * counts themselves scale-free. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      lit("low low low low low lower lower newest newest newest " +
+        "newest newest newest widest widest widest").as("text"))
+    graft.ops.TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 8)
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        (col("pair_count") / col("n_docs")).cast("bigint").as("per_doc_count"))
+      .orderBy(col("merge_rank"))
+  }
+
   /** The COMPOSED cleaning recipe (ops/CorpusPipeline.clean) under the
     * DuckDB gate — previously only the individual stages were oracled. A
     * deterministic dirty corpus is synthesized per doc_id: a boilerplate
@@ -1200,6 +1220,7 @@ object Queries {
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_line_filter" -> (qLineFilter _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_uuid3_key" -> (qUuid3Key _),
@@ -1793,6 +1814,18 @@ object Queries {
                 CAST(len(kept) AS INTEGER) AS lines_kept,
                 CAST(len(lines) - len(kept) AS INTEGER) AS lines_dropped
          FROM k WHERE len(kept) >= 1 ORDER BY doc_id""",
+    "q_bpe_merges" ->
+      // the expected merge sequence, hand-computed over the per-doc word
+      // multiset {low:5, lower:2, newest:6, widest:3} and independently
+      // verified with a reference BPE trainer: ties at count 9 and 6
+      // resolve lexicographically ((e,s) before (s,t); (e,w) before (n,e))
+      """SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,
+                CAST(per_doc_count AS BIGINT) AS per_doc_count
+         FROM (VALUES (0,'e','s',9), (1,'es','t',9), (2,'l','o',7),
+                      (3,'lo','w',7), (4,'e','w',6), (5,'ew','est',6),
+                      (6,'n','ewest',6), (7,'d','est',3))
+           AS t(merge_rank, lhs, rhs, per_doc_count)
+         ORDER BY merge_rank""",
     "q_corpus_pipeline" ->
       // the composed pipeline replayed stage by stage: line filter ->
       // language gate (argmax over de/en/es/fr profiles + zh block,

@@ -33,7 +33,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|dmozparser|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -234,6 +234,27 @@ object CrawlMain {
             extraFilters = Seq(graft.jobs.MoreIndexingFilter(),
               graft.jobs.TldIndexingFilter(), graft.jobs.PhashIndexingFilter()))
           .show(truncate = false)
+      case "dmozparser" => // reference `bin/nutch parsedmoz` (tools/DmozParser)
+        arg(args, "rdf") match {
+          case Some(rdf) =>
+            val seeds = graft.jobs.SeedTools.parseDmozRdf(spark, rdf,
+              subsetDenom = arg(args, "subset").map(_.toInt).getOrElse(1),
+              includeAdult = flag(args, "include-adult"),
+              skew = arg(args, "skew").map(_.toInt).getOrElse(0),
+              topicPattern = arg(args, "topic"))
+            arg(args, "out") match {
+              case Some(out) => // url-per-line seed files, ready for inject
+                seeds.map(_.url)(org.apache.spark.sql.Encoders.STRING)
+                  .write.mode("overwrite").text(out)
+                println(s"dmozparser: seeds -> $out")
+              case None => // reference default: urls to stdout
+                seeds.collect().foreach(s => println(s.url))
+            }
+          case None =>
+            System.err.println("usage: dmozparser --rdf <file-or-dir> " +
+              "[--out <dir>] [--subset N] [--skew N] [--topic regex] [--include-adult]")
+            sys.exit(2)
+        }
       case "warcimport" => // third-party WARC dump -> fetched frontier rows
         arg(args, "in") match {
           case Some(in) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 
 /** Lineage control for iterative jobs (label propagation, link analysis).
   *
@@ -29,7 +29,7 @@ object Lineage {
     * dir at a per-job location it removes afterwards, or every superseded
     * iteration's table stays on the cluster filesystem.
     */
-  def cut(df: DataFrame): DataFrame =
+  def cut[T](df: Dataset[T]): Dataset[T] =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 }

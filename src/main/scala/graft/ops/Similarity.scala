@@ -411,6 +411,72 @@ object TextAnalysis {
         countDistinct(col("__doc")).as("doc_count"))
       .where(col("term_count") >= minCount)
 
+  /** Left-to-right non-overlapping application of one BPE merge:
+    * `aaa` under merge (a,a) becomes `[aa, a]` — the original learn_bpe
+    * application rule. */
+  def mergeSymbols(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val v = syms.toIndexedSeq
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < v.length) {
+      if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += a + b; i += 2 }
+      else { out += v(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** BPE merge-training (Sennrich-style; the tokenizer-prep counterpart of
+    * `bpeTokenCount`): learn `nMerges` merges from corpus word counts.
+    * Returns (merge_rank, lhs, rhs, pair_count) in learned order.
+    *
+    * Scale shape: the corpus aggregates ONCE into the (word, count) vocab —
+    * one explode + one shuffle with map-side partials (no doc-distinct
+    * aggregate; only term counts matter here) — and every merge round then
+    * runs over the vocab table, which is orders of magnitude smaller than
+    * the corpus. Per round: one pair-histogram aggregate (overlapping
+    * occurrences count, as in the original learn_bpe), ONE driver-side row
+    * (the winning pair — the IVF-centroid-style bounded driver state), and
+    * one narrow map applying the merge. The winner is argmax pair_count
+    * with lexicographic (lhs, rhs) as the deterministic tie-break. Vocab
+    * lineage is cut every round (the 2^k plan-growth pathology Lineage.scala
+    * documents: the vocab is referenced twice per round). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] = Lineage.cut(
+      docs.select(explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("term_count"))
+        .as[(String, Long)]
+        .map { case (w, c) => (w.map(_.toString): Seq[String], c) })
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = vocab.flatMap { case (syms, c) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, c))
+      }.toDF("lhs", "rhs", "cnt")
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best match {
+        case Array((a, b, cnt)) if cnt >= minPairCount =>
+          merges += ((rank, a, b, cnt))
+          val prev = vocab
+          vocab = Lineage.cut(prev.map { case (syms, c) =>
+            (mergeSymbols(syms, a, b), c) })
+          prev.unpersist()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    vocab.unpersist()
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Linear quality classifier over the hashing trick (the fastText-style
     * scoring shape every "educational value" / "quality" corpus filter
     * runs at scale): each token hashes into one of `dim` buckets, the doc

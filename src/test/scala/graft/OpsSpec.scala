@@ -92,6 +92,34 @@ class OpsSpec extends AnyFunSuite {
     assert(globalSorts(Queries.all("q_embed_cosine_topk")(spark, "/root/testdata/sf0.001")) == 1)
   }
 
+  test("bpeTrain learns the classic merge sequence (counts, ties, application)") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // Sennrich's example vocabulary, 3 copies to prove scale-invariance
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = (1L to 3L).map(i => (i, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // independently verified with a reference BPE trainer (per-doc counts
+    // x3 docs); ties at 9 and 6 resolve lexicographically
+    assert(merges.toSeq == Seq(
+      (0, "e", "s", 27L), (1, "es", "t", 27L), (2, "l", "o", 21L),
+      (3, "lo", "w", 21L), (4, "e", "w", 18L), (5, "ew", "est", 18L),
+      (6, "n", "ewest", 18L), (7, "d", "est", 9L)))
+    // merge application is left-to-right non-overlapping
+    assert(TextAnalysis.mergeSymbols(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(TextAnalysis.mergeSymbols(Seq("x"), "a", "a") == Seq("x"))
+    // training stops early when no pair clears minPairCount
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tiny, "doc_id", "text", nMerges = 10,
+      minPairCount = 2L).collect()
+    assert(m2.length == 1) // only (a,b) has count 2; (c,d) count 1 stops it
+    assert(m2.head.getString(1) == "a" && m2.head.getString(2) == "b")
+  }
+
   test("phash near-dup: pigeonhole banding equals brute-force ground truth") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
