@@ -175,12 +175,16 @@ object LinkDb {
 
   /** FrontierJob: create a bare UNFETCHED frontier row for every edge
     * target not already in the store — putIfAbsent semantics via an
-    * anti-join on key (exact; a bloom prefilter can front it at scale, see
-    * DbUpdateJob.mergeSeenNewPages). Returns only the NEW rows, ready to
-    * append as a snapshot. */
+    * anti-join on key. Pass the crawl's seen bank as `seen` to front the
+    * join at scale (the DbUpdateJob.mergeSeenNewPagesOverStore shape):
+    * bloom-NEGATIVE targets are definitely new (no false negatives) and
+    * skip the store join entirely; only the bloom-positive maybe-set pays
+    * the exact anti-join, so the store-keyed shuffle carries the maybe
+    * slice instead of every candidate. Returns only the NEW rows, ready
+    * to append as a snapshot. */
   def frontier(spark: SparkSession, edges: Dataset[LinkEdge],
       existing: Dataset[WebPage], conf: CrawlConfig, curTime: Long,
-      round: Int = 0): Dataset[WebPage] = {
+      round: Int = 0, seen: Option[graft.seen.SeenFilter] = None): Dataset[WebPage] = {
     import spark.implicits._
     val schedule = FetchSchedule(conf)
     val opic = ScoringFilter(conf)
@@ -194,9 +198,17 @@ object LinkDb {
         (key, best.out)
       }
     val existingKeys = existing.select(col("key")).distinct()
-    targets.toDF("key", "url")
-      .join(existingKeys, Seq("key"), "left_anti")
-      .as[(String, String)]
+    val candidates = targets.toDF("key", "url")
+    val fresh = seen match {
+      case Some(bank) =>
+        val probe = graft.functions.SeenMightContain.mightContain(
+          spark, col("key"), bank)
+        candidates.filter(!probe).unionByName(
+          candidates.filter(probe).join(existingKeys, Seq("key"), "left_anti"))
+      case None =>
+        candidates.join(existingKeys, Seq("key"), "left_anti")
+    }
+    fresh.as[(String, String)]
       .map { case (key, url) =>
         var p = WebPage(url = url, key = key,
           status = graft.model.CrawlStatus.UNFETCHED, round = round)

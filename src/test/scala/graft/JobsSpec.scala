@@ -199,6 +199,13 @@ class JobsSpec extends AnyFunSuite {
     assert(newRows.head.status == CrawlStatus.UNFETCHED)
     assert(newRows.head.key == graft.url.UrlUtil.uuid3(fresh))
     assert(newRows.head.score == 1.0f)
+    // seen-fronted path: result identical to the exact anti-join (bloom
+    // negatives skip the store join; positives still confirm exactly)
+    val bank = graft.seen.BloomSeen.build(
+      existing.map(_.key).rdd, numParts = 2, expectedItems = 1000, fpp = 0.01)
+    val fronted = LinkDb.frontier(spark, LinkDb.edges(spark, seedEdges),
+      existing, conf, 1234L, seen = Some(bank)).collect()
+    assert(fronted.map(_.url).toSeq == Seq(fresh))
     edges.unpersist()
   }
 
