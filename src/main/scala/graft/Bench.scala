@@ -198,17 +198,28 @@ object Bench {
     // so a consumer can see the in-session spread, and variance_flag trips
     // when any query's median/min exceeds the documented band.
     val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
-    val qStats = headline.flatMap { name =>
-      Queries.all.get(name).map { fn =>
-        val samples = (1 to qReps).map { _ =>
-          val (_, secs) = time(run(fn(spark, sfDir)))
-          // drop intermediates persisted inside operators (dedup pipelines)
-          // so queries don't inherit each other's cached state
-          spark.catalog.clearCache()
-          secs
-        }.sorted
-        name -> (samples.head, samples(samples.size / 2))
+    // Reps are INTERLEAVED as full passes over the query list (pass 1 runs
+    // every query once, then pass 2, ...) rather than k back-to-back runs of
+    // each query: the round-3/round-4 noisy-window artifact lasts minutes,
+    // so consecutive reps let one window poison all k samples of whichever
+    // queries it lands on (min == median == 10-60x slow, and the variance
+    // flag can't even see it). Spread across passes, a window inflates one
+    // PASS and each query's min still comes from a clean pass.
+    val impls = headline.flatMap(n => Queries.all.get(n).map(n -> _))
+    val samplesByQuery =
+      scala.collection.mutable.LinkedHashMap(impls.map { case (n, _) => n -> List.empty[Double] }: _*)
+    (1 to qReps).foreach { _ =>
+      impls.foreach { case (name, fn) =>
+        val (_, secs) = time(run(fn(spark, sfDir)))
+        // drop intermediates persisted inside operators (dedup pipelines)
+        // so queries don't inherit each other's cached state
+        spark.catalog.clearCache()
+        samplesByQuery(name) = secs :: samplesByQuery(name)
       }
+    }
+    val qStats = samplesByQuery.toSeq.map { case (name, raw) =>
+      val samples = raw.sorted
+      name -> (samples.head, samples(samples.size / 2))
     }
     val qTimes = qStats.map { case (n, (mn, _)) => n -> mn }
     val qMedians = qStats.map { case (n, (_, md)) => n -> md }
