@@ -638,6 +638,38 @@ object Queries {
       .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens",
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+
+  /** Token-budget mixture: per-source token budgets spent in deterministic
+    * hash order (Sampling.tokenBudgetSample, range-sharded two-phase
+    * prefix sums — the kept set is invariant to nShards). Row-level
+    * output: every kept doc with its inclusive running token sum. */
+  private def qTokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetSample(docsWithTokens(s, dir),
+      "doc_id", "source", "n_tokens",
+      Map("src0" -> 800L, "src7" -> 150L, "src13" -> 650L),
+      defaultBudget = 400L, nShards = 8)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+
+  /** Concat-and-chunk sequence packing (GPT-pretraining shape): 8 parallel
+    * token streams, 128-token sequences, documents may straddle. */
+  private def qPackConcat(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packConcat(docsWithTokens(s, dir), "doc_id", "n_tokens",
+      maxLen = 128L, nShards = 8)
+      .orderBy(col("shard"), col("seq"), col("off"), col("doc_id"))
+
+  /** Greedy no-split sequence packing (T5/SFT shape): the oracle replays
+    * the sequential first-fit scan per shard as a recursive CTE. */
+  private def qPackGreedy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(docsWithTokens(s, dir), "doc_id", "n_tokens",
+      maxLen = 128L, nShards = 8)
+      .orderBy(col("shard"), col("seq"), col("off"), col("doc_id"))
+
   /** Gopher-style repetition diagnostics per document: distinct-token
     * fraction, top-2-gram char coverage, duplicated-5-gram char coverage
     * (the repetition-rule family of corpus quality filtering). */
@@ -1205,6 +1237,9 @@ object Queries {
     "q_token_count_bpe" -> (qTokenCountBpe _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
+    "q_token_budget_mix" -> (qTokenBudgetMix _),
+    "q_pack_concat" -> (qPackConcat _),
+    "q_pack_greedy" -> (qPackGreedy _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -1604,6 +1639,62 @@ object Queries {
                 CAST(sum(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> ''))) AS BIGINT) AS total_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY source ORDER BY source""",
+    // the two-phase range-sharded prefix sums must equal ONE global
+    // (bucket, key)-ordered running sum per stratum — the oracle states
+    // that naive form directly
+    "q_token_budget_mix" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,10))::BIGINT % 1000000 AS bucket
+           FROM documents
+         ), o AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM d
+         )
+         SELECT doc_id, source, n_tokens, cum_tokens FROM o
+         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800 WHEN 'src7' THEN 150
+                                         WHEN 'src13' THEN 650 ELSE 400 END
+         ORDER BY source, cum_tokens, doc_id""",
+    "q_pack_concat" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> '')) AS BIGINT) AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,10))::BIGINT % 1000000 AS bucket
+           FROM documents
+         ), p AS (
+           SELECT doc_id, CAST(bucket % 8 AS INT) AS shard, toks,
+             CAST(coalesce(sum(toks) OVER (PARTITION BY bucket % 8 ORDER BY bucket, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+           FROM d
+         )
+         SELECT doc_id, shard, prefix // 128 AS seq, prefix % 128 AS off,
+                ((prefix + greatest(toks, 1) - 1) // 128) - (prefix // 128) + 1 AS spans
+         FROM p ORDER BY shard, seq, off, doc_id""",
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),'\s+'), w -> w <> '')) AS BIGINT) AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,10))::BIGINT % 1000000 AS bucket
+           FROM documents
+         ), r AS (
+           SELECT doc_id, CAST(bucket % 8 AS INT) AS shard, toks,
+             row_number() OVER (PARTITION BY bucket % 8 ORDER BY bucket, doc_id) AS rn
+           FROM d
+         ), pack AS (
+           SELECT shard, rn, doc_id, toks,
+                  CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off, toks AS fill
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT n.shard, n.rn, n.doc_id, n.toks,
+             CASE WHEN p.fill > 0 AND p.fill + n.toks > 128 THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.fill > 0 AND p.fill + n.toks > 128 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill > 0 AND p.fill + n.toks > 128 THEN n.toks ELSE p.fill + n.toks END
+           FROM r n JOIN pack p ON n.shard = p.shard AND n.rn = p.rn + 1
+         )
+         SELECT doc_id, shard, seq, off FROM pack ORDER BY shard, seq, off, doc_id""",
     "q_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
          probes AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 5),

@@ -330,4 +330,46 @@ object Sampling {
     }
     df.where(bucket < threshold)
   }
+
+  /** Token-budget mixture ("data mixing", the Pile/DoReMi-recipe shape):
+    * keep documents of each stratum, in deterministic hash order, until
+    * the stratum's token budget is spent — i.e. keep a row iff its
+    * inclusive running token sum over (bucket, key) order within the
+    * stratum stays ≤ the budget. Output gains a `cum_tokens` column.
+    *
+    * Scale shape: a naive window would funnel every stratum through ONE
+    * partition — fatal for a 3-stratum 100 TB mixture. Instead buckets
+    * split by RANGE into `nShards` sub-streams per stratum (range, not
+    * modulo, so the concatenated shard order IS the global (bucket, key)
+    * order and the kept set is invariant to nShards); a tiny
+    * per-(stratum, shard) total table yields each shard's starting
+    * offset, broadcast back, and the big window runs per (stratum,
+    * shard). Only (key, stratum, tokens, bucket) ride the exchange.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("bucket", Dedup.hash40(col(keyCol).cast("string")) % Buckets)
+      .withColumn("shard", (col("bucket") * nShards / Buckets).cast("int"))
+    val offsets = base.groupBy(col(strataCol), col("shard"))
+      .agg(sum(col(tokensCol)).as("shard_toks"))
+      .withColumn("offset", coalesce(
+        sum(col("shard_toks")).over(
+          Window.partitionBy(col(strataCol)).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("shard_toks")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol), col("shard"))
+      .orderBy(col("bucket"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq(strataCol, "shard"))
+      .withColumn("cum_tokens", col("offset") + sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= budgetCol)
+      .drop("bucket", "shard", "offset")
+  }
 }
