@@ -726,6 +726,40 @@ object Queries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Seed-derived PQ codebooks (8 subspaces x 8 centroids from the slices
+    * of corpus vectors vec_id<8) — the pluggable-quantizer convention the
+    * IVF oracle established, so DuckDB replays the identical codebooks. */
+  private def pqSeedCodebooks(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1).cast("int").as("cid"),
+        posexplode(graft.ops.Similarity.subvectors(
+          col("embedding").cast("array<double>"), 64, 8)).as(Seq("sub", "centroid")))
+      .select(col("sub"), col("cid"), col("centroid"))
+
+  /** Product-quantization encoding: 64-dim vectors compress to 8 one-byte
+    * codes (nearest sub-codebook centroid per subspace). Codes join into a
+    * string so the compare is structural, not float. */
+  private def qPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ops.Similarity.pqEncode(emb.where(col("vec_id") >= 10), "vec_id",
+        "embedding", pqSeedCodebooks(emb), dim = 64, m = 8)
+      .select(col("vid").as("vec_id"),
+        concat_ws("-", transform(col("codes"), c => c.cast("string"))).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance top-k: probes rank the PQ-coded corpus by
+    * summed distance-table lookups (the billion-scale ANN scan shape). */
+  private def qPqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = pqSeedCodebooks(emb)
+    val codes = graft.ops.Similarity.pqEncode(emb.where(col("vec_id") >= 10),
+      "vec_id", "embedding", cb, dim = 64, m = 8)
+    graft.ops.Similarity.pqAdcTopK(codes, emb.where(col("vec_id") < 10), cb,
+        "vec_id", "embedding", dim = 64, m = 8, k = 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** B6: DFA-compiled URL filter (automaton plugin shape) applied to a
     * synthesized url mix — whole-string DFA matching, first-match-decides
     * +/- rule order; DuckDB mirrors with regexp_full_match in the same rule
@@ -1240,6 +1274,8 @@ object Queries {
     "q_token_budget_mix" -> (qTokenBudgetMix _),
     "q_pack_concat" -> (qPackConcat _),
     "q_pack_greedy" -> (qPackGreedy _),
+    "q_pq_encode" -> (qPqEncode _),
+    "q_pq_adc_topk" -> (qPqAdcTopk _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -1673,6 +1709,56 @@ object Queries {
          SELECT doc_id, shard, prefix // 128 AS seq, prefix % 128 AS off,
                 ((prefix + greatest(toks, 1) - 1) // 128) - (prefix // 128) + 1 AS spans
          FROM p ORDER BY shard, seq, off, doc_id""",
+    "q_pq_encode" ->
+      """WITH s AS (SELECT unnest(range(0, 8)) AS sub),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         cb AS (SELECT s.sub, CAST(e.vec_id + 1 AS INT) AS cid,
+                  list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS centroid
+                FROM e, s WHERE e.vec_id < 8),
+         sv AS (SELECT e.vec_id, s.sub,
+                  list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS sv
+                FROM e, s WHERE e.vec_id >= 10),
+         d AS (SELECT sv.vec_id, sv.sub, cb.cid,
+                 round(list_sum(list_transform(range(1, 9),
+                   j -> (sv.sv[j] - cb.centroid[j]) * (sv.sv[j] - cb.centroid[j]))), 6) AS d
+               FROM sv JOIN cb ON sv.sub = cb.sub),
+         a AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+                 FROM d) WHERE rn = 1)
+         SELECT vec_id, string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes
+         FROM a GROUP BY vec_id ORDER BY vec_id""",
+    "q_pq_adc_topk" ->
+      """WITH s AS (SELECT unnest(range(0, 8)) AS sub),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         cb AS (SELECT s.sub, CAST(e.vec_id + 1 AS INT) AS cid,
+                  list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS centroid
+                FROM e, s WHERE e.vec_id < 8),
+         sv AS (SELECT e.vec_id, s.sub,
+                  list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS sv
+                FROM e, s WHERE e.vec_id >= 10),
+         d AS (SELECT sv.vec_id, sv.sub, cb.cid,
+                 round(list_sum(list_transform(range(1, 9),
+                   j -> (sv.sv[j] - cb.centroid[j]) * (sv.sv[j] - cb.centroid[j]))), 6) AS d
+               FROM sv JOIN cb ON sv.sub = cb.sub),
+         a AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+                 FROM d) WHERE rn = 1),
+         qsv AS (SELECT e.vec_id AS qid, s.sub,
+                   list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS sv
+                 FROM e, s WHERE e.vec_id < 10),
+         dtab AS (SELECT qsv.qid, qsv.sub, cb.cid,
+                    list_sum(list_transform(range(1, 9),
+                      j -> (qsv.sv[j] - cb.centroid[j]) * (qsv.sv[j] - cb.centroid[j]))) AS d
+                  FROM qsv JOIN cb ON qsv.sub = cb.sub),
+         approx AS (SELECT dtab.qid, a.vec_id, round(sum(dtab.d), 3) AS dist
+                    FROM a JOIN dtab ON a.sub = dtab.sub AND a.cid = dtab.cid
+                    GROUP BY dtab.qid, a.vec_id)
+         SELECT qid, vec_id AS neighbor, dist, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT qid, vec_id, dist,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           FROM approx) WHERE rn <= 5 ORDER BY qid, rn""",
     "q_pack_greedy" ->
       """WITH RECURSIVE d AS (
            SELECT doc_id,

@@ -266,6 +266,112 @@ object Similarity {
       .select(col("qid"), col("bucket"), col(idCol).as("neighbor"), col("sim"), col("rn"))
     // no orderBy tail (see cosineTopK note)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Squared L2 over equal-length arrays (fixed left-to-right summation —
+    * engine-portable like `cosine`). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The m subvector slices of an embedding, for posexplode into (sub, sv). */
+  def subvectors(e: Column, dim: Int, m: Int): Column = {
+    val dsub = dim / m
+    array((0 until m).map(s => slice(e, s * dsub + 1, dsub)): _*)
+  }
+
+  /** Per-subspace Lloyd's for product-quantization codebooks: the
+    * embedding splits into m contiguous dsub-dim subspaces, each trained
+    * independently — but all in ONE Catalyst plan per iteration (the
+    * subspace id is just a grouping column, not a driver loop). Init: the
+    * ksub smallest-id-hash corpus vectors seed every subspace with their
+    * slices (deterministic, no RNG — same discipline as kmeansCentroids).
+    * Returns (sub, cid, centroid[dsub]); tiny (m*ksub rows), made to be
+    * broadcast. Codebooks are pluggable downstream exactly like
+    * ivfNearest's centroids, so oracles can replay seed-only (iters=0)
+    * codebooks. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    val cbSchema = StructType(Seq(StructField("sub", IntegerType),
+      StructField("cid", IntegerType), StructField("centroid", ArrayType(DoubleType))))
+    def cbDf(rows: Seq[Row]): DataFrame = spark.createDataFrame(rows.toList.asJava, cbSchema)
+
+    val e = corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e"))
+    val subs = e.select(col("vid"),
+        posexplode(subvectors(col("e"), dim, m)).as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.orderBy(graft.ops.Dedup.hash40(col("vid").cast("string")), col("vid"))
+      .limit(ksub).select(col("e")).collect()
+    var cb = cbDf(for ((r, i) <- seeds.zipWithIndex.toSeq; s <- 0 until m)
+      yield Row(s, i + 1, r.getSeq[Double](0).slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("d"), col("cid"))
+      val next = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("sub"), col("cid"), col("i")).agg(avg(col("v")).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
+          s => s.getField("mv")).as("centroid"))
+        .collect()
+      cb = cbDf(next.toSeq.map(r => Row(r.getInt(0), r.getInt(1), r.getSeq[Double](2))))
+    }
+    subs.unpersist()
+    cb
+  }
+
+  /** PQ encoding: each vector compresses to m small codes — the nearest
+    * sub-codebook centroid per subspace (argmin over rounded L2, cid
+    * tie-break: engine-stable like assignToCentroids). dim*8 bytes/vector
+    * become m codes; at 10^10 vectors this is the difference between an
+    * index that fits the cluster and one that does not. Returns
+    * (vid, codes[m]). */
+  def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subs = corpus.select(col(idCol).as("vid"),
+      posexplode(subvectors(col(embCol).cast("array<double>"), dim, m))
+        .as(Seq("sub", "sv")))
+    val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("d"), col("cid"))
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("vid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: each probe builds its m*ksub
+    * distance table against the broadcast codebooks, and a candidate's
+    * approximate distance is the SUM OF TABLE LOOKUPS along its codes —
+    * O(m) adds per candidate instead of O(dim) float math, and the scan
+    * carries (vid, sub, cid) integers, never vectors. Rank by rounded
+    * distance + vid tie-break. Returns (qid, neighbor, dist, rn). */
+  def pqAdcTopK(codes: DataFrame, probes: DataFrame, codebooks: DataFrame,
+      idCol: String, embCol: String, dim: Int, m: Int, k: Int = 5,
+      decimals: Int = 3): DataFrame = {
+    val dtab = probes.select(col(idCol).as("qid"),
+        posexplode(subvectors(col(embCol).cast("array<double>"), dim, m))
+          .as(Seq("sub", "qsv")))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        l2sq(col("qsv"), col("centroid")).as("d"))
+    val cexp = codes.select(col("vid"), posexplode(col("codes")).as(Seq("sub", "cid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vid"))
+    cexp.join(broadcast(dtab), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("d")), decimals).as("dist"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vid").as("neighbor"), col("dist"), col("rn"))
+    // no orderBy tail (see cosineTopK note)
+  }
 }
 
 /** Text analysis for corpus quality pipelines: tokenization, stopword

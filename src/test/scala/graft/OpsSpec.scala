@@ -210,6 +210,62 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall only $recall%.2f")
   }
 
+  test("PQ: deterministic encode; ADC recovers planted near-twins in top-5") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val m = 8
+    val ksub = 16
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 64, m, ksub, iters = 2)
+    assert(cb.count() == m.toLong * ksub)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, 64, m)
+    val collected = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(collected.length.toLong == corpus.count())
+    collected.foreach { case (_, cs) =>
+      assert(cs.length == m && cs.forall(c => c >= 1 && c <= ksub))
+    }
+    // codes are a pure function of (vector, codebooks) — physical layout free
+    val again = Similarity.pqEncode(corpus.repartition(9), "vec_id", "embedding", cb, 64, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(collected.toMap == again)
+    // ADC search: probes perturbed from corpus vectors find their original
+    val rnd = new scala.util.Random(11)
+    val base = corpus.where(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = base.toSeq.map { case (id, e) =>
+      val norm = math.sqrt(e.map(x => x * x).sum)
+      (id, e.map(x => x + 0.15 * norm / math.sqrt(64) * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(codes, probes, cb, "vec_id", "embedding", 64, m, k = 5)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = base.count { case (id, _) => got.getOrElse(id, Set.empty).contains(id) }
+    assert(recall >= 34, s"PQ ADC found only $recall/40 planted twins in top-5")
+  }
+
+  test("PQ codebook training: Lloyd's iterations do not increase distortion") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val m = 8
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val subs = corpus.select(col("vec_id").as("vid"),
+        posexplode(Similarity.subvectors(col("embedding"), 64, m)).as(Seq("sub", "sv")))
+      subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d", aggregate(zip_with(col("sv"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+        .groupBy(col("vid"), col("sub")).agg(min(col("d")).as("dmin"))
+        .agg(avg(col("dmin"))).head().getDouble(0)
+    }
+    val d0 = distortion(Similarity.pqCodebooks(corpus, "vec_id", "embedding", 64, m, 16, iters = 0))
+    val d2 = distortion(Similarity.pqCodebooks(corpus, "vec_id", "embedding", 64, m, 16, iters = 2))
+    assert(d2 <= d0 + 1e-9, s"iters=2 distortion $d2 above iters=0 $d0")
+    assert(d2 < d0 * 0.9, s"training barely helped: $d0 -> $d2")
+  }
+
   test("rhp ANN: recall >= 0.9 on near-duplicates at >= 16x candidate reduction") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
