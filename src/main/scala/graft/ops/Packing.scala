@@ -66,25 +66,32 @@ object Packing {
     * upstream). Returns (idCol, shard, seq, off). */
   def packGreedy(df: DataFrame, idCol: String, tokensCol: String, maxLen: Long,
       nShards: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val base = withShard(df, idCol, tokensCol, nShards)
-      .select(col(idCol).cast("long").as("id"), col(tokensCol).as("toks"),
-        col("bucket"), col("shard"))
+      .select(col(idCol), col(tokensCol).as("toks"), col("shard"), col("bucket"))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("bucket"), col("id"))
-    import base.sparkSession.implicits._
-    base.as[(Long, Long, Long, Int)].mapPartitions { it =>
+      .sortWithinPartitions(col("shard"), col("bucket"), col(idCol))
+    // Row-based pass so the id keeps its original type (string keys sort
+    // and emit unchanged — a long cast would null them silently)
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField("shard", IntegerType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("off", LongType, nullable = false)))
+    base.mapPartitions { it =>
       // a hash partition may hold several shards back to back; reset the
       // stream state at each shard boundary (rows arrive shard-sorted)
       var curShard = Int.MinValue
       var seq = 0L
       var fill = 0L
-      it.map { case (id, toks, _, shard) =>
+      it.map { r =>
+        val shard = r.getInt(2)
+        val toks = r.getLong(1)
         if (shard != curShard) { curShard = shard; seq = 0L; fill = 0L }
         if (fill > 0 && fill + toks > maxLen) { seq += 1; fill = 0L }
         val off = fill
         fill += toks
-        (id, shard, seq, off)
+        org.apache.spark.sql.Row(r.get(0), shard, seq, off)
       }
-    }.toDF(idCol, "shard", "seq", "off")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

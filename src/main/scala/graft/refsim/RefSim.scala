@@ -132,7 +132,10 @@ final class RefSim(
                 protocolStatus = ProtocolStatus(ProtocolStatusCodes.NOTFOUND, Seq.empty, 0L))
           }
         }
-        ParserJob.parsePage(page, conf, source, filter, batchId)
+        // same ParseFilter chain as the engine (ParserJob.parse resolves
+        // ParseFilters(conf)) — the oracle must see identical parse output
+        // when parseFilterClass is configured
+        ParserJob.parsePage(page, conf, source, filter, batchId, ParseFilters(conf))
       }.toSeq
     }
     out.foreach(upsert)

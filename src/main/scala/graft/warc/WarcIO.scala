@@ -85,25 +85,40 @@ object WarcIO {
           // interleaving. HDFS rename is atomic; object stores degrade to
           // copy but still never expose the tmp name as the final file.
           val base = new org.apache.hadoop.fs.Path(dir)
-          val fs = base.getFileSystem(hconf.value)
-          // no .crc sidecars in the archive dir (local FS is checksummed by
-          // default); WARC is length-framed and the decode loop is strict
-          fs.setWriteChecksum(false)
-          val ext = if (gzip) "warc.gz" else "warc"
-          val f = new org.apache.hadoop.fs.Path(base, f"part-$part%05d.$ext%s")
-          val tmp = new org.apache.hadoop.fs.Path(base,
-            f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
-          val out = fs.create(tmp, true)
-          var n = 0L
-          try recs.foreach { r =>
-            out.write(if (gzip) WarcCodec.recordBytesGz(r)
-              else WarcCodec.recordBytes(r))
-            n += 1
-          }
-          finally out.close()
-          if (fs.exists(f)) fs.delete(f, false)
-          fs.rename(tmp, f)
-          Iterator.single(n)
+          // a PRIVATE FileSystem instance: setWriteChecksum on the shared
+          // FileSystem.CACHE instance would silently disable .crc sidecars
+          // for every later writer in this JVM (seen-bank checkpoints etc.)
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            base.getFileSystem(hconf.value).getUri, hconf.value)
+          try {
+            // no .crc sidecars in the archive dir (local FS is checksummed
+            // by default); WARC is length-framed and the decode is strict
+            fs.setWriteChecksum(false)
+            val ext = if (gzip) "warc.gz" else "warc"
+            val f = new org.apache.hadoop.fs.Path(base, f"part-$part%05d.$ext%s")
+            val tmp = new org.apache.hadoop.fs.Path(base,
+              f".part-$part%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
+            val out = fs.create(tmp, true)
+            var n = 0L
+            try recs.foreach { r =>
+              out.write(if (gzip) WarcCodec.recordBytesGz(r)
+                else WarcCodec.recordBytes(r))
+              n += 1
+            }
+            finally out.close()
+            if (fs.exists(f) && !fs.delete(f, false) && fs.exists(f))
+              throw new java.io.IOException(s"warcexport: cannot replace $f")
+            if (!fs.rename(tmp, f)) {
+              // a speculative twin may win the rename race — its bytes are
+              // identical (deterministic contents), so losing is fine; a
+              // rename that failed with NO file at the destination is real
+              // data loss and must fail the task
+              if (!fs.exists(f))
+                throw new java.io.IOException(s"warcexport: rename $tmp -> $f failed")
+              fs.delete(tmp, false)
+            }
+            Iterator.single(n)
+          } finally fs.close()
         }
       }
       .collect().sum // ≤ one row per partition
@@ -151,13 +166,15 @@ object WarcIO {
 
   /** Ingest a directory of `.warc` / `.warc.gz` files as a Dataset of
     * records (gz archives inflate member-wise with the strict bounded
-    * decoder — see WarcCodec.gunzipStrict). */
-  def read(spark: SparkSession, dir: String): Dataset[WarcRow] = {
+    * decoder — see WarcCodec.gunzipStrict; raise `maxInflated` for
+    * legitimate archives above the 1 GiB default ceiling). */
+  def read(spark: SparkSession, dir: String,
+      maxInflated: Long = WarcCodec.DefaultMaxInflated): Dataset[WarcRow] = {
     import spark.implicits._
     toRows(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(dir)
-      .select(col("content")).as[Array[Byte]])
+      .select(col("content")).as[Array[Byte]], maxInflated)
   }
 
   /** The binaryFile source's fixed schema (a streaming read must declare
@@ -179,18 +196,20 @@ object WarcIO {
     * is ingested exactly once per query). Compose with
     * [[toPages]]-shaped maps and `StreamingDedup.dropSeen` keyed by the
     * page key for exactly-once pages across re-delivered archives. */
-  def readStream(spark: SparkSession, dir: String): Dataset[WarcRow] = {
+  def readStream(spark: SparkSession, dir: String,
+      maxInflated: Long = WarcCodec.DefaultMaxInflated): Dataset[WarcRow] = {
     import spark.implicits._
     toRows(spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(dir)
-      .select(col("content")).as[Array[Byte]])
+      .select(col("content")).as[Array[Byte]], maxInflated)
   }
 
-  private def toRows(files: Dataset[Array[Byte]]): Dataset[WarcRow] = {
+  private def toRows(files: Dataset[Array[Byte]],
+      maxInflated: Long): Dataset[WarcRow] = {
     import files.sparkSession.implicits._
-    files.flatMap(bytes => WarcCodec.decodeAuto(bytes).map(r =>
+    files.flatMap(bytes => WarcCodec.decodeAuto(bytes, maxInflated).map(r =>
       WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
         r.payload)))
   }

@@ -73,6 +73,16 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packGreedy: string-keyed corpora keep their ids (no silent long cast)") {
+    import spark.implicits._
+    val strDocs = docs.select(concat(lit("doc-"), col("doc_id")).as("key"),
+      col("n_tokens"))
+    val rows = Packing.packGreedy(strDocs, "key", "n_tokens", MaxLen, Shards)
+      .collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getString(0) != null && r.getString(0).startsWith("doc-")))
+  }
+
   test("packing is deterministic across runs and repartitions") {
     val a = Packing.packGreedy(docs, "doc_id", "n_tokens", MaxLen, Shards).collect().toSet
     val b = Packing.packGreedy(docs.repartition(13), "doc_id", "n_tokens", MaxLen, Shards)
