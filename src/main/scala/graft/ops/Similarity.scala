@@ -372,6 +372,50 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor"), col("dist"), col("rn"))
     // no orderBy tail (see cosineTopK note)
   }
+
+  /** IVF+PQ — the canonical billion-scale index (FAISS IVFADC shape): a
+    * coarse quantizer routes every vector into an inverted list (cosine
+    * assignment, identical to ivfNearest), and WITHIN a probe's nProbe
+    * lists candidates rank by PQ asymmetric distance over their codes.
+    * The search touches ~nProbe/k of the index and reads m integers per
+    * candidate — never a vector: at 10^10 embeddings the index is
+    * m bytes/vector and the per-probe scan is list-bounded table lookups.
+    * Both quantizers are pluggable artifacts (`centroids` (cid, centroid)
+    * full-dim, `codebooks` (sub, cid, centroid) per-subspace), built
+    * offline by kmeansCentroids / pqCodebooks or replayed from seeds by
+    * the oracles. Returns (qid, neighbor, dist, rn). */
+  def ivfPqNearest(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, embCol: String, dim: Int, m: Int,
+      nProbe: Int = 2, k: Int = 5, decimals: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e"))
+    // index build (offline artifacts in a deployment; one plan here):
+    // list assignment + PQ codes per vector
+    val assigned = assignToCentroids(c, centroids)
+      .select(col("vid"), col("cid").as("list"))
+    val cexp = pqEncode(corpus, idCol, embCol, codebooks, dim, m)
+      .join(assigned, Seq("vid"))
+      .select(col("vid"), col("list"), posexplode(col("codes")).as(Seq("sub", "cid")))
+    // probe side: nProbe nearest lists + the per-probe ADC distance table
+    val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+    val wP = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("crn", row_number().over(wP)).where(col("crn") <= nProbe)
+      .select(col("qid"), col("cid").as("list"))
+    val dtab = p.select(col("qid"),
+        posexplode(subvectors(col("qe"), dim, m)).as(Seq("sub", "qsv")))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        l2sq(col("qsv"), col("centroid")).as("d"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vid"))
+    cexp.join(broadcast(probeLists), Seq("list"))
+      .join(broadcast(dtab), Seq("qid", "sub", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("d")), decimals).as("dist"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vid").as("neighbor"), col("dist"), col("rn"))
+    // no orderBy tail (see cosineTopK note)
+  }
 }
 
 /** Text analysis for corpus quality pipelines: tokenization, stopword

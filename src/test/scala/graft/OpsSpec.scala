@@ -245,6 +245,31 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 34, s"PQ ADC found only $recall/40 planted twins in top-5")
   }
 
+  test("IVF+PQ: composed trained index recovers planted near-twins in top-5") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val m = 8
+    val centroids = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 64, m, 16, iters = 2)
+    val rnd = new scala.util.Random(23)
+    val base = corpus.where(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = base.toSeq.map { case (id, e) =>
+      val norm = math.sqrt(e.map(x => x * x).sum)
+      (id, e.map(x => x + 0.1 * norm / math.sqrt(64) * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    // nProbe=4 of 8 lists: candidates ~ half the corpus, then ADC-coded
+    val got = Similarity.ivfPqNearest(corpus, probes, centroids, cb,
+        "vec_id", "embedding", dim = 64, m = m, nProbe = 4, k = 5)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = base.count { case (id, _) => got.getOrElse(id, Set.empty).contains(id) }
+    assert(recall >= 32, s"IVF+PQ found only $recall/40 planted twins in top-5")
+  }
+
   test("PQ codebook training: Lloyd's iterations do not increase distortion") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
