@@ -237,6 +237,73 @@ object Bench {
     // run and round-over-round comparisons of this file need a re-run
     val varianceFlag = qStats.exists { case (_, (mn, md)) => md > mn * 2.0 }
 
+    // ---- phase A2: training-data op throughput at synthetic scale. The
+    // oracle gate proves these ops correct at 500 rows; this measures the
+    // SCALE claims (per-shard streaming pack, range-sharded two-phase
+    // mixture, PQ encode/search over integer codes) on multi-million-row
+    // narrow tables. Inputs are deterministic functions of the row id,
+    // materialized once to tmpfs so synthesis never rides a timing.
+    val opsRows = sys.env.getOrElse("SPARK_GRAFT_OPS_ROWS", "2000000").toLong
+    val pqRows = sys.env.getOrElse("SPARK_GRAFT_PQ_ROWS", "200000").toLong
+    val opsDir = s"/dev/shm/graft-ops-$opsRows-$pqRows"
+    if (!new java.io.File(opsDir, "_DONE").exists()) {
+      import org.apache.spark.sql.functions._
+      spark.range(0, opsRows, 1, cpus * 2)
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(16))).as("source"),
+          (lit(50) + pmod(col("id") * 2654435761L, lit(400))).as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$opsDir/docs.parquet")
+      spark.range(0, pqRows, 1, cpus * 2)
+        .select(col("id").as("vec_id"),
+          // (id+1): id=0 would synthesize the all-zero vector, which has
+          // no cosine direction (kmeans assignment divides by the norm)
+          transform(sequence(lit(0), lit(63)),
+            j => sin((col("id") + 1) * (j + 1) * 0.7)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$opsDir/vecs.parquet")
+      new java.io.File(opsDir, "_DONE").createNewFile()
+    }
+    val opsStats: Map[String, Double] = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$opsDir/docs.parquet")
+      val vecs = spark.read.parquet(s"$opsDir/vecs.parquet")
+      // quantizers train on a sample once (offline artifacts of a real
+      // deployment); searches/encodes are the recurring cost measured here
+      val sample = vecs.where(col("vec_id") % 8 === 0)
+      val (centroids, tTrainIvf) = time {
+        val c = graft.ops.Similarity.kmeansCentroids(sample, "vec_id", "embedding", 64, iters = 2)
+        c.persist().count(); c
+      }
+      val (cb, tTrainPq) = time {
+        val c = graft.ops.Similarity.pqCodebooks(sample, "vec_id", "embedding", 64, 8, 256, iters = 2)
+        c.persist().count(); c
+      }
+      val probes = vecs.where(col("vec_id") < 16)
+      val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "pack_greedy" -> (() => graft.ops.Packing.packGreedy(docs, "doc_id", "n_tokens", 2048L, cpus * 2)),
+        "pack_concat" -> (() => graft.ops.Packing.packConcat(docs, "doc_id", "n_tokens", 2048L, cpus * 2)),
+        "token_budget_mix" -> (() => graft.ops.Sampling.tokenBudgetSample(docs, "doc_id", "source",
+          "n_tokens", Map.empty, defaultBudget = opsRows * 8, nShards = cpus * 2)),
+        "pq_encode" -> (() => graft.ops.Similarity.pqEncode(vecs, "vec_id", "embedding", cb, 64, 8)),
+        "ivfpq_search" -> (() => graft.ops.Similarity.ivfPqNearest(vecs, probes, centroids, cb,
+          "vec_id", "embedding", 64, 8, nProbe = 8, k = 10)))
+      // same discipline as the headline: interleaved passes, min-of-k
+      val samples = scala.collection.mutable.LinkedHashMap(
+        ops.map { case (n, _) => n -> List.empty[Double] }: _*)
+      (1 to qReps).foreach { _ =>
+        ops.foreach { case (n, fn) =>
+          val (_, secs) = time(run(fn()))
+          spark.catalog.clearCache()
+          samples(n) = secs :: samples(n)
+        }
+      }
+      centroids.unpersist(); cb.unpersist()
+      Map("rows" -> opsRows.toDouble, "pq_rows" -> pqRows.toDouble,
+        "ivf_train_sec" -> tTrainIvf, "pq_train_sec" -> tTrainPq) ++
+        samples.map { case (n, ss) => s"${n}_sec" -> ss.min } ++
+        Map("pack_greedy_mrows_per_sec" -> opsRows / samples("pack_greedy").min / 1e6,
+          "pq_encode_kvecs_per_sec" -> pqRows / samples("pq_encode").min / 1e3)
+    }
+
     // ---- phase B: synthesize the image universe once (untimed, reused)
     val buckets = 64
     // the corpus stands in for distributed storage: tmpfs, so a timed fetch
@@ -334,6 +401,8 @@ object Bench {
         s""""update_rows_per_sec":${f(updatePerSec)},"generate_sec":${f(tHigh.generate)},""" +
         s""""fetch_sec":${f(tHigh.fetch)},"update_sec":${f(tHigh.update)}},""" +
         s""""seen_path":${seenStats.map { case (k, v) => s""""$k":${f(v)}""" }
+          .mkString("{", ",", "}")},""" +
+        s""""training_ops":${opsStats.map { case (k, v) => s""""$k":${f(v)}""" }
           .mkString("{", ",", "}")}"""
     val scalingJson =
       if (scaling.isEmpty) ""

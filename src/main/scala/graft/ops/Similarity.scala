@@ -312,11 +312,15 @@ object Similarity {
     var cb = cbDf(for ((r, i) <- seeds.zipWithIndex.toSeq; s <- 0 until m)
       yield Row(s, i + 1, r.getSeq[Double](0).slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("d"), col("cid"))
+      // argmin as min(struct(d, cid, sv)) — struct ordering IS (rounded
+      // distance, cid tie-break), and the aggregation partial-aggregates
+      // map-side where a row_number window would shuffle every
+      // (vector, subspace, centroid) candidate row
       val next = subs.join(broadcast(cb), Seq("sub"))
         .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("vid"), col("sub"))
+        .agg(min(struct(col("d"), col("cid"), col("sv"))).as("b"))
+        .select(col("sub"), col("b.cid").as("cid"), posexplode(col("b.sv")).as(Seq("i", "v")))
         .groupBy(col("sub"), col("cid"), col("i")).agg(avg(col("v")).as("mv"))
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
@@ -339,12 +343,15 @@ object Similarity {
     val subs = corpus.select(col(idCol).as("vid"),
       posexplode(subvectors(col(embCol).cast("array<double>"), dim, m))
         .as(Seq("sub", "sv")))
-    val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("d"), col("cid"))
+    // argmin via min(struct(d, cid)): identical (distance, cid tie-break)
+    // pick to a row_number window, but partial-aggregated map-side — at
+    // 10^10 vectors the n*m*ksub candidate rows never ride an exchange
     subs.join(broadcast(codebooks), Seq("sub"))
       .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
       .groupBy(col("vid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("b.cid").as("cid")))),
         s => s.getField("cid")).as("codes"))
   }
 
