@@ -355,23 +355,28 @@ object Bench {
 
     // ---- phase D: scaling evidence, same job at N vs 4N cores, both
     // inside the host's linear-scaling region (see scaleHigh above).
-    // min-of-k repetitions per level isolates GC/host noise; efficiency is
-    // reported per metric (fetched URLs/sec, update rows/sec — the
-    // BASELINE.json metrics) plus for the whole round.
+    // min-of-k repetitions per level isolates GC/host noise, and the reps
+    // are INTERLEAVED across levels ((4N, N) per rep, fresh session each)
+    // for the same reason the headline queries interleave passes: one run
+    // measured both consecutive local[8] reps inside a single slow host
+    // window (fetch 66 s vs 38 s steady state), reporting 0.64 efficiency
+    // on a binary that measures 0.9+ in clean windows. A window now
+    // inflates BOTH levels of one rep, keeping the ratio honest.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    def bestRound(s: SparkSession): CrawlTimings = {
-      warm(s)
-      (1 to reps).map(_ => crawlRound(s, imagesDir, pages, hosts, parts = cpus * 2))
-        .minBy(_.total)
+    def levelRound(level: Int): CrawlTimings = {
+      spark = session(level)
+      warm(spark)
+      val t = crawlRound(spark, imagesDir, pages, hosts, parts = cpus * 2)
+      spark.stop()
+      t
     }
     var scaling: Map[String, Double] = Map.empty
     if (!skipScaling) {
       spark.stop()
-      spark = session(scaleHigh)
-      val tS4N = bestRound(spark)
-      spark.stop()
-      spark = session(scaleLow)
-      val tSN = bestRound(spark)
+      val rounds = (1 to reps).map(_ => (levelRound(scaleHigh), levelRound(scaleLow)))
+      val tS4N = rounds.map(_._1).minBy(_.total)
+      val tSN = rounds.map(_._2).minBy(_.total)
+      spark = session(cpus) // phase-D sessions are stopped; restore one for the final stop()
       val ratio = scaleHigh.toDouble / scaleLow
       def eff(low: Double, high: Double): Double = low / (ratio * high)
       scaling = Map(
