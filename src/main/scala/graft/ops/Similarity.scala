@@ -336,23 +336,83 @@ object Similarity {
     * sub-codebook centroid per subspace (argmin over rounded L2, cid
     * tie-break: engine-stable like assignToCentroids). dim*8 bytes/vector
     * become m codes; at 10^10 vectors this is the difference between an
-    * index that fits the cluster and one that does not. Returns
-    * (vid, codes[m]). */
+    * index that fits the cluster and one that does not.
+    *
+    * This is the one numeric kernel where every Catalyst shape measured
+    * wrong: the exploded join (n*m*ksub candidate rows — 409.6M at the
+    * bench's 200k vectors — through a map-side argmin aggregation) ran
+    * 31.5 s, and a plan-literal `transform`/`aggregate` projection is
+    * WORSE because higher-order functions are CodegenFallback —
+    * interpreted per element. Codebooks are tiny by contract, so they
+    * ride the closure and the encode is a JIT-compiled mapPartitions
+    * projection: n rows in, n (vid, codes) rows out, no join, no
+    * explosion, no shuffle (see timing in BASELINE.md). Distance
+    * rounding mirrors Catalyst `round` (BigDecimal HALF_UP, 6 decimals)
+    * and is applied only to candidates within 2e-6 of the unrounded
+    * minimum — every other candidate's rounded distance is provably
+    * larger, so the argmin is bit-identical to the Catalyst/DuckDB
+    * round-then-argmin. Returns (vid, codes[m]). */
   def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
       codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
-    val subs = corpus.select(col(idCol).as("vid"),
-      posexplode(subvectors(col(embCol).cast("array<double>"), dim, m))
-        .as(Seq("sub", "sv")))
-    // argmin via min(struct(d, cid)): identical (distance, cid tie-break)
-    // pick to a row_number window, but partial-aggregated map-side — at
-    // 10^10 vectors the n*m*ksub candidate rows never ride an exchange
-    subs.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
-      .groupBy(col("vid"), col("sub"))
-      .agg(min(struct(col("d"), col("cid"))).as("b"))
-      .groupBy(col("vid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("b.cid").as("cid")))),
-        s => s.getField("cid")).as("codes"))
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+    val dsub = dim / m
+    val bySub: Array[(Array[Int], Array[Array[Double]])] = {
+      val grouped = codebooks.collect()
+        .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("cid")),
+          r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+        .groupBy(_._1)
+      require(grouped.keySet == (0 until m).toSet,
+        s"codebooks must cover subspaces 0..${m - 1}, got ${grouped.keySet}")
+      (0 until m).map { s =>
+        val rows = grouped(s).sortBy(_._2)
+        (rows.map(_._2), rows.map(_._3))
+      }.toArray
+    }
+    val base = corpus.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("e"))
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val ea = r.getSeq[Double](1).toArray
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          val (cids, cents) = bySub(s)
+          val off = s * dsub
+          val ds = new Array[Double](cents.length)
+          var dmin = Double.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            val c = cents(k)
+            var d = 0.0
+            var i = 0
+            while (i < dsub) { val t = ea(off + i) - c(i); d += t * t; i += 1 }
+            ds(k) = d
+            if (d < dmin) dmin = d
+            k += 1
+          }
+          var bestCid = Int.MaxValue
+          var bestR = Double.MaxValue
+          k = 0
+          while (k < cents.length) {
+            // rounded distances are multiples of 1e-6: a candidate more
+            // than 2e-6 above the raw minimum rounds strictly higher
+            if (ds(k) <= dmin + 2e-6) {
+              val rd = java.math.BigDecimal.valueOf(ds(k))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (rd < bestR || (rd == bestR && cids(k) < bestCid)) {
+                bestR = rd; bestCid = cids(k)
+              }
+            }
+            k += 1
+          }
+          codes(s) = bestCid
+          s += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), codes.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Asymmetric-distance top-k over PQ codes: each probe builds its m*ksub
