@@ -5,10 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]/Array[Double]),
-  * expressed in codegen-friendly higher-order functions (`zip_with` +
-  * `aggregate`), no UDFs. Brute-force is the exactness baseline; the
-  * LSH-bucketed variant is the scale path (probes scan one bucket, not the
-  * corpus).
+  * expressed in higher-order functions (`zip_with` + `aggregate`), no
+  * UDFs. Brute-force is the exactness baseline; the LSH/IVF/PQ variants
+  * are the scale paths (probes scan buckets or codes, not the corpus).
+  *
+  * Measured caveat: higher-order functions are CodegenFallback
+  * (interpreted per element), which is fine when the vector math rides a
+  * candidate-bounded join but wrong for a dense n*k kernel — pqEncode
+  * documents the measured 52x gap and uses a JIT'd mapPartitions pass
+  * instead.
   */
 object Similarity {
 
