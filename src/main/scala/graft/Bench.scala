@@ -132,16 +132,28 @@ object Bench {
     import graft.site.PhashOutlinks
     val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = parts, topN = 0,
       storingContent = false, filterSeenNewPages = true)
-    val tableDirFile = benchTableDir()
     val images = spark.table("graft_images")
-    val crawl = new Crawl(spark, tableDirFile.toString, images, conf,
-      PhashOutlinks(pages, hosts, 4))
-    val seeds = spark.range(0, pages, 1, parts).map(i => ImageSynth.urlOf(i, hosts))
-    crawl.table.append(
-      graft.jobs.InjectorJob.inject(spark, seeds, conf, crawl.curTimeOf(0)).toDF(),
-      0, "inject")
-    crawl.generate(1); crawl.fetchAndParse(1)
-    val (_, u1) = time(crawl.update(1))
+    // the one-time bank build (inside the first update round) gets the
+    // same min-of-k discipline as everything else: k full fresh-table
+    // round-1s, min of the timed update — a single-shot build measured
+    // 25s in one noisy official window vs 7-9s in every clean one
+    val buildReps = sys.env.getOrElse("SPARK_GRAFT_SEEN_BUILD_REPS", "3").toInt
+    var crawl: Crawl = null
+    var tableDirFile: java.io.File = null
+    val u1s = (1 to buildReps).map { _ =>
+      if (tableDirFile != null) org.apache.commons.io.FileUtils.deleteQuietly(tableDirFile)
+      tableDirFile = benchTableDir()
+      crawl = new Crawl(spark, tableDirFile.toString, images, conf,
+        PhashOutlinks(pages, hosts, 4))
+      val seeds = spark.range(0, pages, 1, parts).map(i => ImageSynth.urlOf(i, hosts))
+      crawl.table.append(
+        graft.jobs.InjectorJob.inject(spark, seeds, conf, crawl.curTimeOf(0)).toDF(),
+        0, "inject")
+      crawl.generate(1); crawl.fetchAndParse(1)
+      val (_, u) = time(crawl.update(1))
+      u
+    }
+    val u1 = u1s.min
     // every round after the first is an O(delta) incremental round, so the
     // min-of-k treatment the other phases get applies cleanly here too:
     // run k delta rounds and report the min (one single-shot delta round
@@ -155,7 +167,8 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(tableDirFile)
     Map(
       "pages" -> pages.toDouble,
-      "update_round1_sec" -> u1, // includes the one-time bank build
+      "update_round1_sec" -> u1, // includes the one-time bank build (min-of-k)
+      "build_rounds_timed" -> buildReps.toDouble,
       "update_round2_sec" -> deltas.head, // incremental: O(delta) adds only
       "update_round2_median_sec" -> deltas(deltas.size / 2),
       "delta_rounds_timed" -> deltaReps.toDouble,
@@ -398,29 +411,48 @@ object Bench {
     spark.stop()
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-    val qMed = qMedians.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    // 3-decimal short form for the stdout line — millisecond resolution is
+    // plenty for second-scale timings, and every byte counts there (below)
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def obj(kvs: Iterable[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum
-    val crawlJson =
-      s""""crawl":{"pages":$pages,"fetched_urls_per_sec":${f(fetchedPerSec)},""" +
-        s""""update_rows_per_sec":${f(updatePerSec)},"generate_sec":${f(tHigh.generate)},""" +
-        s""""fetch_sec":${f(tHigh.fetch)},"update_sec":${f(tHigh.update)}},""" +
-        s""""seen_path":${seenStats.map { case (k, v) => s""""$k":${f(v)}""" }
-          .mkString("{", ",", "}")},""" +
-        s""""training_ops":${opsStats.map { case (k, v) => s""""$k":${f(v)}""" }
-          .mkString("{", ",", "}")}"""
-    val scalingJson =
-      if (scaling.isEmpty) ""
-      else "," + s""""scaling":${scaling.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")}"""
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$qMed,"query_reps":$qReps,"variance_flag":$varianceFlag,""" +
-        s""""sf":"$sfDir",$crawlJson$scalingJson}"""
-    println(json)
-    // also land the JSON in a file so consumers never have to scrape a
+    def jsonOf(fmt: Double => String, medians: Boolean,
+        seen: Map[String, Double], ops: Map[String, Double],
+        scal: Map[String, Double]): String = {
+      val med = if (medians)
+        s""""queries_median":${obj(qMedians, fmt)},""" else ""
+      val scalingJson =
+        if (scal.isEmpty) "" else s""","scaling":${obj(scal, fmt)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${obj(qTimes, fmt)},$med""" +
+        s""""query_reps":$qReps,"variance_flag":$varianceFlag,"sf":"$sfDir",""" +
+        s""""crawl":{"pages":$pages,"fetched_urls_per_sec":${fmt(fetchedPerSec)},""" +
+        s""""update_rows_per_sec":${fmt(updatePerSec)},"generate_sec":${fmt(tHigh.generate)},""" +
+        s""""fetch_sec":${fmt(tHigh.fetch)},"update_sec":${fmt(tHigh.update)}},""" +
+        s""""seen_path":${obj(seen, fmt)},"training_ops":${obj(ops, fmt)}$scalingJson}"""
+    }
+    val jsonFull = jsonOf(f, medians = true, seenStats, opsStats, scaling)
+    // The consumer contract is a TAIL capture of stdout: round 4's official
+    // artifact arrived with the (single, ~3 KB) metrics line truncated
+    // mid-object because the window started inside it. Defense: the file
+    // gets the full object, stdout gets the full line AND THEN a compact
+    // line LAST — essential keys only, 3-decimal — so whatever window the
+    // consumer applies, the line closest to EOF is small enough (~1.5 KB)
+    // to survive intact with every contract field present.
+    val essentialSeen = seenStats.filter { case (k, _) =>
+      Set("pages", "update_round1_sec", "update_round2_sec", "full_builds")(k) }
+    val essentialOps = opsStats.filter { case (k, _) => k.endsWith("_sec") }
+    val essentialScaling = scaling.filter { case (k, _) =>
+      k.startsWith("throughput_") || k.startsWith("efficiency") }
+    val jsonCompact = jsonOf(f3, medians = false,
+      essentialSeen, essentialOps, essentialScaling)
+    // full detail to a file first, so consumers never have to scrape a
     // build tool's interleaved stdout
     val outFile = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonFull + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(jsonFull)
+    println(jsonCompact)
   }
 }

@@ -345,6 +345,7 @@ object Queries {
           markers = Map(graft.model.Marks.DISTANCE -> (id % 4).toString))
       }
     graft.jobs.LinkDb.inlinkStats(graft.jobs.LinkDb.edges(s, pages))
+      .orderBy(col("out"))
   }
 
   /** Offline link analysis (the scoring-link producer): damped PageRank

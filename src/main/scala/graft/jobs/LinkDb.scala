@@ -58,7 +58,9 @@ object LinkDb {
   }
 
   /** Per-target inlink aggregates over the edge table (anchor-text /
-    * graph-analytics query surface). */
+    * graph-analytics query surface). Unsorted, like every op in the
+    * family: a 10^10-edge caller must not pay a global sort it didn't ask
+    * for — presentation layers (Queries.q_linkdb_inlinks) add their own. */
   def inlinkStats(edges: Dataset[LinkEdge]): DataFrame =
     edges.groupBy(col("out"))
       .agg(
@@ -66,7 +68,6 @@ object LinkDb {
         countDistinct(col("in")).as("n_sources"),
         round(sum(col("score")), 3).as("inbound_score"),
         min(col("distance")).as("min_distance"))
-      .orderBy(col("out"))
 
   /** The offline link-analysis job whose output `LinkAnalysisScoring`
     * consumes (reference: plugin/scoring-link/.../LinkAnalysisScoringFilter
@@ -179,9 +180,20 @@ object LinkDb {
     * join at scale (the DbUpdateJob.mergeSeenNewPagesOverStore shape):
     * bloom-NEGATIVE targets are definitely new (no false negatives) and
     * skip the store join entirely; only the bloom-positive maybe-set pays
-    * the exact anti-join, so the store-keyed shuffle carries the maybe
-    * slice instead of every candidate. Returns only the NEW rows, ready
-    * to append as a snapshot. */
+    * the exact confirm, and that confirm broadcasts the pruned probe keys
+    * into a left-semi scan of the store — the store side is ONE narrow
+    * pass, never an Exchange/distinct of the full 10^10-row key set.
+    * Returns only the NEW rows, ready to append as a snapshot.
+    *
+    * PRECONDITION on `seen`: the bank must cover EVERY key present in
+    * `existing` (bloom filters have no false negatives only for keys that
+    * were actually added). A bank built before the latest store append
+    * silently classifies the uncovered keys as definitely-new and emits
+    * duplicate UNFETCHED rows for them. The crawl loop maintains this
+    * invariant (the bank is rebuilt/delta-added before frontier jobs run);
+    * standalone callers must pass the bank generation that matches the
+    * `existing` snapshot they read — when in doubt, pass None and pay the
+    * exact anti-join. */
   def frontier(spark: SparkSession, edges: Dataset[LinkEdge],
       existing: Dataset[WebPage], conf: CrawlConfig, curTime: Long,
       round: Int = 0, seen: Option[graft.seen.SeenFilter] = None): Dataset[WebPage] = {
@@ -197,14 +209,26 @@ object LinkDb {
         val best = it.minBy(e => (e.distance, e.out))
         (key, best.out)
       }
-    val existingKeys = existing.select(col("key")).distinct()
+    // no .distinct() on the store key column in either branch: anti/semi
+    // join semantics are insensitive to right-side duplicates, and the
+    // distinct was a full-store Exchange paid for nothing
+    val existingKeys = existing.select(col("key"))
     val candidates = targets.toDF("key", "url")
     val fresh = seen match {
       case Some(bank) =>
         val probe = graft.functions.SeenMightContain.mightContain(
           spark, col("key"), bank)
+        // the maybe-set is delta-sized (bloom fpp x candidates + true
+        // hits): broadcast ITS keys into a left-semi scan of the store so
+        // the store never shuffles (the mergeSeenNewPagesOverStore shape),
+        // then confirm with a delta x delta anti-join
+        val positives = candidates.filter(probe)
+        val prunedStoreKeys = existingKeys.join(
+          broadcast(positives.select(col("key"))), Seq("key"), "left_semi")
+        // the confirm is delta x (≤ delta): broadcast it too, so neither
+        // join of the seen path ever plans a store-keyed exchange
         candidates.filter(!probe).unionByName(
-          candidates.filter(probe).join(existingKeys, Seq("key"), "left_anti"))
+          positives.join(broadcast(prunedStoreKeys), Seq("key"), "left_anti"))
       case None =>
         candidates.join(existingKeys, Seq("key"), "left_anti")
     }

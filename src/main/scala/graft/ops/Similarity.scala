@@ -280,9 +280,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** The m subvector slices of an embedding, for posexplode into (sub, sv). */
+  /** The m subvector slices of an embedding, for posexplode into (sub, sv).
+    * m must divide dim — enforced here (and in pqEncode, which slices in
+    * its own kernel) so a caller passing a non-divisor fails loudly
+    * instead of silently dropping the tail dimensions from every
+    * distance. */
   def subvectors(e: Column, dim: Int, m: Int): Column = {
     val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
     array((0 until m).map(s => slice(e, s * dsub + 1, dsub)): _*)
   }
 
@@ -361,6 +366,7 @@ object Similarity {
       codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
     val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
     val bySub: Array[(Array[Int], Array[Array[Double]])] = {
       val grouped = codebooks.collect()
         .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("cid")),

@@ -37,11 +37,14 @@ object WarcIO {
 
   /** Pages (url, content, contentType, fetchTime) -> WARC response
     * records. Null payloads (unfetched rows) are skipped, matching what a
-    * crawler archives. The record id derives from (url, date), not the url
-    * alone: an export carries one record per FETCHED version ROW (several
-    * captures of one url across rounds), and WARC 1.0 requires globally
-    * unique ids. contentType flows from crawled-server data, so CR/LF are
-    * stripped before it becomes a header line (the codec rejects them). */
+    * crawler archives. The record id derives from (url, fetchTime-in-ms),
+    * not the url alone: an export carries one record per FETCHED version
+    * ROW (several captures of one url across rounds), and WARC 1.0
+    * requires globally unique ids — the millisecond time disambiguates
+    * two captures landing inside the same second, which the
+    * second-truncated WARC-Date header cannot. contentType flows from
+    * crawled-server data, so CR/LF are stripped before it becomes a
+    * header line (the codec rejects them). */
   def toRecords(rows: Iterator[(String, Array[Byte], String, Long)]): Iterator[WarcRecord] =
     rows.collect { case (url, content, contentType, fetchTime) if content != null =>
       val date = warcDate(fetchTime)
@@ -49,7 +52,7 @@ object WarcIO {
         warcType = "response",
         targetUri = url,
         date = date,
-        recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url + "\n" + date),
+        recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url + "\n" + fetchTime),
         contentType = if (contentType == null || contentType.isEmpty)
           "application/octet-stream"
         else contentType.map(c => if (c == '\r' || c == '\n') ' ' else c),
@@ -106,13 +109,18 @@ object WarcIO {
               n += 1
             }
             finally out.close()
-            if (fs.exists(f) && !fs.delete(f, false) && fs.exists(f))
-              throw new java.io.IOException(s"warcexport: cannot replace $f")
-            if (!fs.rename(tmp, f)) {
-              // a speculative twin may win the rename race — its bytes are
-              // identical (deterministic contents), so losing is fine; a
-              // rename that failed with NO file at the destination is real
-              // data loss and must fail the task
+            // Commit: file contents are a pure function of the partition's
+            // rows, so an existing destination was written by a twin of
+            // this very task and is already correct — NEVER delete it
+            // first (delete-then-rename leaves a window where a killed
+            // retry has destroyed the committed file and renamed nothing).
+            // Existing file => drop our tmp and succeed; otherwise rename,
+            // and losing the rename race to a twin is equally fine.
+            if (fs.exists(f)) fs.delete(tmp, false)
+            else if (!fs.rename(tmp, f)) {
+              // a twin may have won between the exists probe and the
+              // rename; only a failed rename with NO file at the
+              // destination is real data loss
               if (!fs.exists(f))
                 throw new java.io.IOException(s"warcexport: rename $tmp -> $f failed")
               fs.delete(tmp, false)

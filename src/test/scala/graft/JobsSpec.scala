@@ -282,4 +282,25 @@ class JobsSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id"), s"scan should read doc_id only:\n$plan")
     assert(!plan.contains("text"), "unused text column read by linkdb scan")
   }
+
+  test("explain: seen-fronted frontier never exchanges or sorts the full store") {
+    import graft.jobs.LinkDb
+    import graft.model.WebPage
+    val pages = crawled.table.currentView(spark).drop("snapshot_id").as[WebPage]
+    val bank = graft.seen.BloomSeen.build(
+      pages.map(_.key).rdd, numParts = 2, expectedItems = 1000, fpp = 0.01)
+    val seedEdges = Seq(WebPage(url = "http://frontier.test/src1.html",
+      outlinks = Map("http://frontier.test/new.html" -> "a"))).toDS()
+    val conf = CrawlConfig(fetchIntervalDefault = 0, numPartitions = 4)
+    val plan = LinkDb.frontier(spark, LinkDb.edges(spark, seedEdges),
+      pages, conf, 1234L, seen = Some(bank))
+      .queryExecution.executedPlan.toString
+    // both store probes are broadcast joins (pruned-probe semi + delta
+    // confirm): a SortMergeJoin or a distinct aggregate on the store key
+    // column would mean the 10^10-row side rides an Exchange again
+    assert(!plan.contains("SortMergeJoin"),
+      s"frontier seen path must not shuffle the store:\n$plan")
+    assert(plan.contains("LeftSemi"), s"pruned-probe semi join missing:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact confirm anti join missing:\n$plan")
+  }
 }

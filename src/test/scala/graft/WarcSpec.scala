@@ -122,11 +122,12 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(row.payload, "UTF-8") == "body-7")
     assert(row.warc_type == "response")
     assert(row.warc_date == "2023-11-14T22:13:27Z")
-    // record ids are unique per CAPTURE (url, date), not per url — an
-    // export holds one record per fetched version row and WARC 1.0
-    // requires globally unique ids
+    // record ids are unique per CAPTURE (url, millisecond fetchTime), not
+    // per url — an export holds one record per fetched version row and
+    // WARC 1.0 requires globally unique ids, even for two captures inside
+    // the same second (where the second-truncated date string ties)
     assert(row.record_id == "urn:uuid:" + graft.url.UrlUtil.uuid3(
-      "http://h1.example.com/p/7\n2023-11-14T22:13:27Z"))
+      "http://h1.example.com/p/7\n" + (1700000000000L + 7 * 1000)))
     // unfetched rows (null content) are skipped, not crashed on
     val withNulls = (Seq(("http://a/1", "x".getBytes("UTF-8"), "text/plain", 0L)) :+
         (("http://a/2", null.asInstanceOf[Array[Byte]], "text/plain", 0L)))
