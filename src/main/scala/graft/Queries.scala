@@ -970,11 +970,16 @@ object Queries {
     * short line (line filter must drop it), a French function-word line on
     * every 5th doc (the language gate must drop the whole doc), a unique
     * per-doc email (PII redaction must erase it BEFORE dedup so the %50
-    * content groups collapse to one winner), and a spam tail on doc_id%7==3
-    * (the Gopher repetition gates must drop it). The classifier gate then
-    * runs the 512-bucket hashing-trick model over the winners. The oracle
-    * replays every stage in SQL in the same order, so drift in any stage OR
-    * in their composition breaks row/hash parity. */
+    * content groups collapse), a spam tail on doc_id%7==3 (the Gopher
+    * repetition gates must drop it), and a PARITY VARIANT word ("good" vs
+    * "nice" by doc_id%2) so exact dedup leaves two near-identical winners
+    * per group — which the fuzzy near-dup stage (MinHash+LSH -> connected
+    * components -> keep min id) must collapse to one wherever any LSH band
+    * collides. The classifier gate then runs the 512-bucket hashing-trick
+    * model over the surviving canonicals. The oracle replays every stage
+    * in SQL in the same order — minhash constants, banding, the recursive
+    * transitive-closure clustering included — so drift in any stage OR in
+    * their composition breaks row/hash parity. */
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "documents").select(col("doc_id"),
       concat(
@@ -982,7 +987,9 @@ object Queries {
         lit("\n"), lit("short line"), lit("\n"),
         when(col("doc_id") % 5 === 0,
           lit("le la les et est une dans voila bien."))
-          .otherwise(lit("the and of to is in that good stuff.")), lit("\n"),
+          .otherwise(concat(lit("the and of to is in that "),
+            when(col("doc_id") % 2 === 0, lit("good")).otherwise(lit("nice")),
+            lit(" stuff."))), lit("\n"),
         lit("Contact user"), col("doc_id"),
         lit("@mail.example.com for details now."), lit("\n"),
         // 8 distinct group-keyed nonsense words: their hashed-bucket
@@ -997,6 +1004,7 @@ object Queries {
           .otherwise(lit(""))).as("text"))
     graft.ops.CorpusPipeline.clean(raw, "doc_id", "text",
         langKeep = Seq("en"),
+        nearDupBands = 3, nearDupRowsPerBand = 2,
         weights = Some(graft.ops.TextAnalysis.syntheticWeights(s, 512)),
         classifierDim = 512)
       .orderBy(col("doc_id"))
@@ -2078,15 +2086,24 @@ object Queries {
       // language gate (argmax over de/en/es/fr profiles + zh block,
       // tie-break = profile order) -> Gopher repetition gates (unrounded
       // fractions, same thresholds) -> PII chain -> exact dedup (min id
-      // per content hash) -> hashing-trick classifier gate (sum of
-      // integer milli-weights > 0 <=> mean double weight > 0)
-      s"""WITH raw AS (
+      // per content hash) -> MinHash+LSH near-dup (6 minhashes over 3-gram
+      // shingles, 3 bands x 2 rows, transitive-closure clusters, keep each
+      // cluster's min id) -> hashing-trick classifier gate (sum of
+      // integer milli-weights > 0 <=> mean double weight > 0).
+      // The expensive CTEs are MATERIALIZED: DuckDB inlines CTEs by
+      // default, and under the recursive closure + the multi-reference
+      // banding the whole upstream pipeline would re-evaluate
+      // multiplicatively (measured: an effective hang at 500 docs;
+      // 2 s materialized)
+      s"""WITH RECURSIVE raw AS (
            SELECT doc_id,
                   'Sentence one for group ' || (doc_id % 50) || ' is fine.' || chr(10) ||
                   'short line' || chr(10) ||
                   CASE WHEN doc_id % 5 = 0
                     THEN 'le la les et est une dans voila bien.'
-                    ELSE 'the and of to is in that good stuff.' END || chr(10) ||
+                    ELSE 'the and of to is in that ' ||
+                      (CASE WHEN doc_id % 2 = 0 THEN 'good' ELSE 'nice' END) ||
+                      ' stuff.' END || chr(10) ||
                   'Contact user' || doc_id || '@mail.example.com for details now.' || chr(10) ||
                   'Quality marker tok' || (doc_id % 50) || 'a tok' || (doc_id % 50) ||
                   'b tok' || (doc_id % 50) || 'c tok' || (doc_id % 50) ||
@@ -2165,21 +2182,59 @@ object Queries {
                     '${graft.ops.TextCleaning.PhonePattern}', '<PHONE>', 'g') AS t
            FROM t3),
          w5 AS (SELECT md5(t) AS h, min(doc_id) AS doc_id FROM t4 GROUP BY h),
-         t5 AS (SELECT t4.doc_id, t4.t FROM t4 JOIN w5 USING (doc_id)),
-         toks6 AS (
+         t5 AS MATERIALIZED (SELECT t4.doc_id, t4.t FROM t4 JOIN w5 USING (doc_id)),
+         sh6 AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(lower(t), '\\s+') AS ws FROM t5),
+                unnest(range(1, len(ws)-1)) AS x(i)
+           WHERE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] <> ''),
+         hx6 AS (
+           SELECT doc_id, ('0x' || substr(md5(shingle),1,10))::BIGINT AS x FROM sh6),
+         mh6 AS MATERIALIZED (
+           SELECT doc_id,
+             min((x*387421 + 12289) % 2305843009213693951) AS mh0,
+             min((x*921043 + 786433) % 2305843009213693951) AS mh1,
+             min((x*450157 + 196613) % 2305843009213693951) AS mh2,
+             min((x*700417 + 402653) % 2305843009213693951) AS mh3,
+             min((x*104729 + 161051) % 2305843009213693951) AS mh4,
+             min((x*999983 + 69857) % 2305843009213693951) AS mh5
+           FROM hx6 GROUP BY doc_id),
+         bands6 AS (
+           SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS sig FROM mh6
+           UNION ALL
+           SELECT doc_id, 1 AS band, mh2::VARCHAR || '_' || mh3::VARCHAR AS sig FROM mh6
+           UNION ALL
+           SELECT doc_id, 2 AS band, mh4::VARCHAR || '_' || mh5::VARCHAR AS sig FROM mh6),
+         bcnt6 AS MATERIALIZED (SELECT band, sig, count(*) AS bsz FROM bands6 GROUP BY 1, 2),
+         capped6 AS (SELECT bands6.doc_id, bands6.band, bands6.sig FROM bands6
+                     JOIN bcnt6 USING (band, sig) WHERE bsz <= 1000),
+         pairs6 AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM capped6 a JOIN capped6 b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         edges6 AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs6 UNION SELECT db, da FROM pairs6),
+         reach6 AS (
+           SELECT a, b FROM edges6
+           UNION
+           SELECT r.a, e.b FROM reach6 r JOIN edges6 e ON r.b = e.a),
+         labels6 AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach6 GROUP BY a),
+         t6 AS (
+           SELECT doc_id, t FROM t5
+           WHERE doc_id NOT IN (SELECT node FROM labels6 WHERE node <> cluster)),
+         toks7 AS (
            SELECT doc_id,
                   unnest(list_filter(regexp_split_to_array(lower(t), '\\s+'),
                     w -> w <> '')) AS word
-           FROM t5),
-         m6 AS (
+           FROM t6),
+         m7 AS (
            SELECT doc_id,
                   sum((('0x' || substr(md5('w' ||
                     (('0x' || substr(md5(word), 1, 10))::BIGINT % 512)), 1, 10))::BIGINT
                     % 1000) - 500) AS summ
-           FROM toks6 GROUP BY doc_id)
-         SELECT t5.doc_id, t5.t AS text
-         FROM t5 JOIN (SELECT doc_id FROM m6 WHERE summ > 0) k USING (doc_id)
-         ORDER BY t5.doc_id""",
+           FROM toks7 GROUP BY doc_id)
+         SELECT t6.doc_id, t6.t AS text
+         FROM t6 JOIN (SELECT doc_id FROM m7 WHERE summ > 0) k USING (doc_id)
+         ORDER BY t6.doc_id""",
     "q_quality_classifier" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -178,6 +178,29 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(spanned(1L).nonEmpty)
   }
 
+  test("CorpusPipeline.clean: fuzzy near-dup stage collapses one-word variants " +
+      "that exact dedup cannot") {
+    import graft.ops.CorpusPipeline
+    // a long shared body (one-word variants share nearly all 3-gram
+    // shingles, so some MinHash band collides) + an unrelated doc
+    val body = "The crawler fetched every page politely and stored the " +
+      "results in the frontier table for the next round of processing work."
+    val docs = docsOf(
+      1L -> s"$body This variant mentions apples near the end of it all.",
+      3L -> s"$body This variant mentions oranges near the end of it all.",
+      7L -> ("A completely different document about cooking pasta at home " +
+        "with tomatoes, garlic, basil and a generous amount of olive oil."))
+    // stage off (default): both variants survive exact dedup (texts differ)
+    val off = CorpusPipeline.clean(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(off == Set(1L, 3L, 7L), s"got $off")
+    // stage on: the variant cluster keeps its min id; the unrelated doc is
+    // untouched (its shingles share no LSH bucket with the variants)
+    val on = CorpusPipeline.clean(docs, "doc_id", "text", nearDupBands = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(on == Set(1L, 7L), s"got $on")
+  }
+
   test("CorpusPipeline.clean: classifier gate with a parquet-loaded model " +
       "(the real-model seam)") {
     import org.apache.spark.sql.functions._
