@@ -964,6 +964,29 @@ object Queries {
       .orderBy(col("merge_rank"))
   }
 
+  /** Distributed BPE apply (train -> encode end-to-end): merges trained
+    * in-plan on the classic corpus (the q_bpe_merges fixture — its learned
+    * 8-merge sequence is independently pinned by that oracle) encode a
+    * DIFFERENT corpus whose words include held-out forms (lowest, newer,
+    * wide, west) that exercise PARTIAL merge application. The oracle
+    * states each word's hand-verified segment count — so drift in the
+    * rank-ordered replay, the left-to-right non-overlap rule, or the
+    * vocab-join composition breaks parity. Word multiplicity varies per
+    * doc (doc_id%4+1 copies) so the per-doc aggregation is exercised too. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents").select(col("doc_id"),
+      lit("low low low low low lower lower newest newest newest " +
+        "newest newest newest widest widest widest").as("text"))
+    val merges = graft.ops.TextAnalysis.bpeTrain(train, "doc_id", "text", nMerges = 8)
+    val words = array(lit("low"), lit("lower"), lit("lowest"), lit("newest"),
+      lit("newer"), lit("widest"), lit("wide"), lit("west"))
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), (col("doc_id") % 4 + 1).cast("int")),
+        _ => element_at(words, (col("doc_id") % 8 + 1).cast("int")))).as("text"))
+    graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** The COMPOSED cleaning recipe (ops/CorpusPipeline.clean) under the
     * DuckDB gate — previously only the individual stages were oracled. A
     * deterministic dirty corpus is synthesized per doc_id: a boilerplate
@@ -1317,6 +1340,7 @@ object Queries {
     "q_line_filter" -> (qLineFilter _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_uuid3_key" -> (qUuid3Key _),
@@ -2081,6 +2105,21 @@ object Queries {
                       (6,'n','ewest',6), (7,'d','est',3))
            AS t(merge_rank, lhs, rhs, per_doc_count)
          ORDER BY merge_rank""",
+    "q_bpe_encode" ->
+      // per-word segment counts under the 8 learned merges
+      // ((e,s),(es,t),(l,o),(lo,w),(e,w),(ew,est),(n,ewest),(d,est) —
+      // pinned by the q_bpe_merges oracle), hand-applied in rank order
+      // with the left-to-right non-overlap rule:
+      //   low->1 [low]            lower->3 [low,e,r]   lowest->2 [low,est]
+      //   newest->1 [newest]      newer->4 [n,ew,e,r]  widest->3 [w,i,dest]
+      //   wide->4 [w,i,d,e]       west->2 [w,est]
+      """SELECT doc_id,
+                CAST(doc_id % 4 + 1 AS BIGINT) AS n_words,
+                CAST((doc_id % 4 + 1) * CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 1
+                  WHEN 4 THEN 4 WHEN 5 THEN 3 WHEN 6 THEN 4
+                  ELSE 2 END AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "q_corpus_pipeline" ->
       // the composed pipeline replayed stage by stage: line filter ->
       // language gate (argmax over de/en/es/fr profiles + zh block,

@@ -705,6 +705,74 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Per-word BPE segmentation of the corpus VOCABULARY under a trained
+    * merge sequence — the apply-side counterpart of [[bpeTrain]]. The
+    * merge list rides the closure (tiny by contract: nMerges rows, the
+    * same bounded-driver-state discipline as PQ codebooks) and each
+    * DISTINCT word is segmented exactly once: merges replay in rank order
+    * with the identical left-to-right non-overlapping rule the trainer
+    * used, so train -> encode is internally consistent. Returns
+    * (word, symbols, n_symbols, term_count) — the vocab table is orders
+    * of magnitude smaller than the corpus, which is the whole point: at
+    * 100 TB the O(vocab x merges) symbol work never touches the document
+    * stream. */
+  def bpeSegments(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("term_count"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        val syms = merges.foldLeft(w.map(_.toString): Seq[String]) {
+          case (s, (a, b)) => mergeSymbols(s, a, b)
+        }
+        (w, syms, syms.length, c)
+      }
+      .toDF("word", "symbols", "n_symbols", "term_count")
+  }
+
+  /** Distributed BPE encode: token counts per document under a trained
+    * merge table — what [[Packing]] / `Sampling.tokenBudgetSample` consume
+    * when the budget unit is real BPE tokens rather than whitespace words.
+    * Returns (idCol, n_words, n_bpe_tokens); token-less documents surface
+    * with zeros (the packing caller decides their fate), same left-join
+    * contract as `hashedBowScore`.
+    *
+    * Scale shape: segmentation runs once per distinct word (the vocab
+    * table, via [[bpeSegments]]); the corpus-sized (id, word) stream then
+    * joins the (word, n_symbols) lookup — a short-key equi-join Catalyst
+    * is free to broadcast when the vocab is small — and aggregates to one
+    * row per document. Documents never carry symbol arrays; only
+    * (id, word) and (id, counts) ride the exchanges. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegments(docs, idCol, textCol, merges)
+      .select(col("word"), col("n_symbols"))
+    val counts = docs
+      .select(col(idCol), explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .join(seg, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).cast("long").as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** [[bpeEncode]] over a trained merge TABLE (the `bpeTrain` output
+    * schema (merge_rank, lhs, rhs, ...)): collects the merges driver-side
+    * in rank order — bounded by contract like the PQ codebook collect. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame =
+    bpeEncode(docs, idCol, textCol,
+      merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+        .collect()
+        .sortBy(_.getAs[Int]("merge_rank"))
+        .toSeq
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
+
   /** Linear quality classifier over the hashing trick (the fastText-style
     * scoring shape every "educational value" / "quality" corpus filter
     * runs at scale): each token hashes into one of `dim` buckets, the doc

@@ -120,6 +120,35 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.head.getString(1) == "a" && m2.head.getString(2) == "b")
   }
 
+  test("bpeEncode applies trained merges corpus-wide (held-out words, zero-token docs)") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "doc_id", "text", nMerges = 8)
+    val docs = Seq(
+      (1L, "low lower lowest"), // 1 + 3 + 2 (lowest held out: low,est)
+      (2L, "newest newer"),     // 1 + 4 (newer held out: n,ew,e,r)
+      (3L, "wide west widest"), // 4 + 2 + 3
+      (4L, "")                  // token-less -> zeros, not a dropped row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 6L)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 5L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 9L)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L)), s"got ${out(4L)}")
+    // the vocab-level segmentation view: held-out words merge partially
+    val mseq = merges.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val segMap = TextAnalysis.bpeSegments(docs, "doc_id", "text", mseq)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segMap("lowest") == Seq("low", "est"))
+    assert(segMap("newer") == Seq("n", "ew", "e", "r"))
+    assert(segMap("newest") == Seq("newest"))
+  }
+
   test("phash near-dup: pigeonhole banding equals brute-force ground truth") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -90,6 +90,31 @@ class PackingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packGreedy consumes real BPE counts (train -> encode -> pack end-to-end)") {
+    import spark.implicits._
+    val trainText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = graft.ops.TextAnalysis.bpeTrain(
+      Seq((1L, trainText)).toDF("doc_id", "text"), "doc_id", "text", nMerges = 8)
+    val encoded = graft.ops.TextAnalysis.bpeEncode(
+      docs.select("doc_id", "text"), "doc_id", "text", merges).cache()
+    val bpeById = encoded.select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // real text encodes to nonzero counts that differ from whitespace counts
+    assert(bpeById.values.sum > 0)
+    assert(bpeById.exists { case (id, n) => n != toksById(id) })
+    val rows = Packing.packGreedy(encoded, "doc_id", "n_bpe_tokens", MaxLen, Shards)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    rows.groupBy { case (_, shard, seq, _) => (shard, seq) }.foreach {
+      case ((shard, seq), members) =>
+        val total = members.map { case (id, _, _, _) => bpeById(id) }.sum
+        assert(total <= MaxLen || members.length == 1,
+          s"shard $shard seq $seq holds $total BPE tokens across ${members.length} docs")
+    }
+    encoded.unpersist()
+  }
+
   test("tokenBudgetSample: budgets are respected and spent maximally in hash order") {
     val budgets = Map("src0" -> 800L, "src7" -> 150L)
     val kept = Sampling.tokenBudgetSample(docs, "doc_id", "source", "n_tokens",
