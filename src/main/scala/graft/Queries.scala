@@ -776,6 +776,24 @@ object Queries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF+PQ with RESIDUAL encoding (true FAISS IVFADC): codes quantize
+    * x − centroid(list) and each probe builds one distance table per
+    * probed list from q − centroid(list). Quantizers are the same seed
+    * artifacts as q_ivfpq_nearest, so the two oracles differ ONLY in the
+    * residual subtraction — drift in where the subtraction happens (encode
+    * side, probe side, or the per-list table keying) breaks parity. */
+  private def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1).cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("centroid"))
+    graft.ops.Similarity.ivfPqNearest(
+      emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+      centroids, pqSeedCodebooks(emb), "vec_id", "embedding",
+      dim = 64, m = 8, nProbe = 2, k = 5, residual = true)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** B6: DFA-compiled URL filter (automaton plugin shape) applied to a
     * synthesized url mix — whole-string DFA matching, first-match-decides
     * +/- rule order; DuckDB mirrors with regexp_full_match in the same rule
@@ -1324,6 +1342,7 @@ object Queries {
     "q_pq_encode" -> (qPqEncode _),
     "q_pq_adc_topk" -> (qPqAdcTopk _),
     "q_ivfpq_nearest" -> (qIvfPqNearest _),
+    "q_ivfpq_residual" -> (qIvfPqResidual _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -1856,6 +1875,66 @@ object Queries {
                     JOIN ca ON a.vec_id = ca.vid
                     JOIN pl ON ca.lid = pl.lid
                     JOIN dtab ON dtab.qid = pl.qid AND a.sub = dtab.sub AND a.cid = dtab.cid
+                    GROUP BY dtab.qid, a.vec_id)
+         SELECT qid, vec_id AS neighbor, dist, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT qid, vec_id, dist,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           FROM approx) WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_ivfpq_residual" ->
+      // the q_ivfpq_nearest replay with the IVFADC residual subtraction:
+      // corpus codes quantize (x - centroid(assigned list)) and the probe
+      // distance table is per probed list from (q - centroid(list))
+      """WITH s AS (SELECT unnest(range(0, 8)) AS sub),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         cent AS (SELECT CAST(vec_id + 1 AS INT) AS lid, embedding AS lc FROM e WHERE vec_id < 8),
+         csim AS (
+           SELECT c.vec_id AS vid, cent.lid,
+             round(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * cent.lc[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> cent.lc[i]::DOUBLE * cent.lc[i]::DOUBLE))), 6) AS csim
+           FROM e c, cent WHERE c.vec_id >= 10),
+         ca AS (SELECT vid, lid FROM (
+           SELECT vid, lid, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, lid) AS crn
+           FROM csim) WHERE crn = 1),
+         psim AS (
+           SELECT p.vec_id AS qid, cent.lid,
+             round(list_sum(list_transform(range(1, 65), i -> p.embedding[i]::DOUBLE * cent.lc[i]::DOUBLE)) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)) *
+                    list_sum(list_transform(range(1, 65), i -> cent.lc[i]::DOUBLE * cent.lc[i]::DOUBLE))), 6) AS csim
+           FROM e p, cent WHERE p.vec_id < 10),
+         pl AS (SELECT qid, lid FROM (
+           SELECT qid, lid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, lid) AS crn
+           FROM psim) WHERE crn <= 2),
+         cb AS (SELECT s.sub, CAST(e.vec_id + 1 AS INT) AS cid,
+                  list_transform(range(1 + s.sub*8, 9 + s.sub*8), i -> e.embedding[i]::DOUBLE) AS centroid
+                FROM e, s WHERE e.vec_id < 8),
+         rsv AS (SELECT e.vec_id, s.sub,
+                   list_transform(range(1 + s.sub*8, 9 + s.sub*8),
+                     i -> e.embedding[i]::DOUBLE - cent.lc[i]::DOUBLE) AS sv
+                 FROM e JOIN ca ON e.vec_id = ca.vid
+                        JOIN cent ON ca.lid = cent.lid, s
+                 WHERE e.vec_id >= 10),
+         d AS (SELECT rsv.vec_id, rsv.sub, cb.cid,
+                 round(list_sum(list_transform(range(1, 9),
+                   j -> (rsv.sv[j] - cb.centroid[j]) * (rsv.sv[j] - cb.centroid[j]))), 6) AS d
+               FROM rsv JOIN cb ON rsv.sub = cb.sub),
+         a AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+                 FROM d) WHERE rn = 1),
+         qrsv AS (SELECT pl.qid, pl.lid, s.sub,
+                    list_transform(range(1 + s.sub*8, 9 + s.sub*8),
+                      i -> p.embedding[i]::DOUBLE - cent.lc[i]::DOUBLE) AS sv
+                  FROM pl JOIN e p ON p.vec_id = pl.qid
+                          JOIN cent ON pl.lid = cent.lid, s),
+         dtab AS (SELECT qrsv.qid, qrsv.lid, qrsv.sub, cb.cid,
+                    list_sum(list_transform(range(1, 9),
+                      j -> (qrsv.sv[j] - cb.centroid[j]) * (qrsv.sv[j] - cb.centroid[j]))) AS d
+                  FROM qrsv JOIN cb ON qrsv.sub = cb.sub),
+         approx AS (SELECT dtab.qid, a.vec_id, round(sum(dtab.d), 3) AS dist
+                    FROM a
+                    JOIN ca ON a.vec_id = ca.vid
+                    JOIN dtab ON dtab.lid = ca.lid AND a.sub = dtab.sub AND a.cid = dtab.cid
                     GROUP BY dtab.qid, a.vec_id)
          SELECT qid, vec_id AS neighbor, dist, CAST(rn AS INTEGER) AS rn FROM (
            SELECT qid, vec_id, dist,

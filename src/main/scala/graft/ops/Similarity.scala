@@ -451,6 +451,21 @@ object Similarity {
     // no orderBy tail (see cosineTopK note)
   }
 
+  /** Per-vector residuals vs the coarse quantizer: (vid, list, r) where
+    * r = e − centroid(nearest list). The offline training input for
+    * RESIDUAL PQ codebooks (`pqCodebooks(residuals(...), "vid", "r", ...)`)
+    * — the codebook artifact `ivfPqNearest(residual = true)` expects.
+    * One broadcast assignment pass + a narrow zip_with; no extra shuffle. */
+  def residuals(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e"))
+    assignToCentroids(c, centroids)
+      .join(broadcast(centroids.select(col("cid"),
+        col("centroid").cast("array<double>").as("lc"))), Seq("cid"))
+      .select(col("vid"), col("cid").as("list"),
+        zip_with(col("e"), col("lc"), (x, y) => x - y).as("r"))
+  }
+
   /** IVF+PQ — the canonical billion-scale index (FAISS IVFADC shape): a
     * coarse quantizer routes every vector into an inverted list (cosine
     * assignment, identical to ivfNearest), and WITHIN a probe's nProbe
@@ -461,33 +476,76 @@ object Similarity {
     * Both quantizers are pluggable artifacts (`centroids` (cid, centroid)
     * full-dim, `codebooks` (sub, cid, centroid) per-subspace), built
     * offline by kmeansCentroids / pqCodebooks or replayed from seeds by
-    * the oracles. Returns (qid, neighbor, dist, rn). */
+    * the oracles. Returns (qid, neighbor, dist, rn).
+    *
+    * `residual = true` is the true FAISS IVFADC: each vector encodes its
+    * RESIDUAL x − centroid(list) instead of x, and each probe builds one
+    * ADC distance table PER PROBED LIST from q − centroid(list).
+    * Residuals are far more concentrated than raw vectors (the coarse
+    * quantizer has already explained most of the variance), so the same
+    * m*ksub code budget quantizes them with less distortion — recall at
+    * equal m is ≥ the raw variant (IvfPqSpec pins this on planted twins).
+    * Costs: the distance table grows nProbe-fold (still tiny: broadcast),
+    * and the residual projection joins the broadcast centroid per row at
+    * encode time (narrow, no shuffle). The raw variant stays for oracle
+    * continuity and for codebooks trained on raw vectors. */
   def ivfPqNearest(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, idCol: String, embCol: String, dim: Int, m: Int,
-      nProbe: Int = 2, k: Int = 5, decimals: Int = 3): DataFrame = {
+      nProbe: Int = 2, k: Int = 5, decimals: Int = 3,
+      residual: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("e"))
     // index build (offline artifacts in a deployment; one plan here):
     // list assignment + PQ codes per vector
-    val assigned = assignToCentroids(c, centroids)
-      .select(col("vid"), col("cid").as("list"))
-    val cexp = pqEncode(corpus, idCol, embCol, codebooks, dim, m)
+    val assignedFull = assignToCentroids(c, centroids)
+    val assigned = assignedFull.select(col("vid"), col("cid").as("list"))
+    val cents = centroids.select(col("cid").as("list"),
+      col("centroid").cast("array<double>").as("lc"))
+    val codes =
+      if (!residual) pqEncode(corpus, idCol, embCol, codebooks, dim, m)
+      else {
+        // residual projection: e - centroid(list), a broadcast join plus a
+        // narrow zip_with — then the same JIT'd encode kernel
+        val resid = assignedFull.select(col("vid"), col("cid").as("list"), col("e"))
+          .join(broadcast(cents), Seq("list"))
+          .select(col("vid"), zip_with(col("e"), col("lc"), (x, y) => x - y).as("r"))
+        pqEncode(resid, "vid", "r", codebooks, dim, m)
+      }
+    val cexp = codes
       .join(assigned, Seq("vid"))
       .select(col("vid"), col("list"), posexplode(col("codes")).as(Seq("sub", "cid")))
-    // probe side: nProbe nearest lists + the per-probe ADC distance table
+    // probe side: nProbe nearest lists + the ADC distance table — one
+    // per probe (raw) or one per (probe, probed list) (residual)
     val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
     val wP = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probeLists = p.crossJoin(broadcast(centroids))
       .withColumn("csim", round(cosine(col("qe"), col("centroid")), 6))
       .withColumn("crn", row_number().over(wP)).where(col("crn") <= nProbe)
       .select(col("qid"), col("cid").as("list"))
-    val dtab = p.select(col("qid"),
-        posexplode(subvectors(col("qe"), dim, m)).as(Seq("sub", "qsv")))
-      .join(broadcast(codebooks), Seq("sub"))
-      .select(col("qid"), col("sub"), col("cid"),
-        l2sq(col("qsv"), col("centroid")).as("d"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vid"))
-    cexp.join(broadcast(probeLists), Seq("list"))
-      .join(broadcast(dtab), Seq("qid", "sub", "cid"))
+    val ranked =
+      if (!residual) {
+        val dtab = p.select(col("qid"),
+            posexplode(subvectors(col("qe"), dim, m)).as(Seq("sub", "qsv")))
+          .join(broadcast(codebooks), Seq("sub"))
+          .select(col("qid"), col("sub"), col("cid"),
+            l2sq(col("qsv"), col("centroid")).as("d"))
+        cexp.join(broadcast(probeLists), Seq("list"))
+          .join(broadcast(dtab), Seq("qid", "sub", "cid"))
+      } else {
+        val dtab = probeLists.join(p, Seq("qid"))
+          .join(broadcast(cents), Seq("list"))
+          .select(col("qid"), col("list"), posexplode(subvectors(
+            zip_with(col("qe"), col("lc"), (x, y) => x - y), dim, m))
+            .as(Seq("sub", "qsv")))
+          .join(broadcast(codebooks), Seq("sub"))
+          .select(col("qid"), col("list"), col("sub"), col("cid"),
+            l2sq(col("qsv"), col("centroid")).as("d"))
+        // the (qid, list) pairs inside dtab ARE the probe routing, so the
+        // single broadcast join both routes candidates and attaches their
+        // lookups
+        cexp.join(broadcast(dtab), Seq("list", "sub", "cid"))
+      }
+    ranked
       .groupBy(col("qid"), col("vid"))
       .agg(round(sum(col("d")), decimals).as("dist"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)

@@ -297,6 +297,19 @@ class OpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recall = base.count { case (id, _) => got.getOrElse(id, Set.empty).contains(id) }
     assert(recall >= 32, s"IVF+PQ found only $recall/40 planted twins in top-5")
+    // residual variant (true IVFADC): codebooks trained on the residuals
+    // (the artifact residual=true expects), same m — the coarse quantizer
+    // explains most variance, so the same code budget quantizes residuals
+    // with less distortion and recall must not drop below the raw variant
+    val resid = Similarity.residuals(corpus, centroids, "vec_id", "embedding")
+    val cbR = Similarity.pqCodebooks(resid, "vid", "r", 64, m, 16, iters = 2)
+    val gotR = Similarity.ivfPqNearest(corpus, probes, centroids, cbR,
+        "vec_id", "embedding", dim = 64, m = m, nProbe = 4, k = 5, residual = true)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recallR = base.count { case (id, _) => gotR.getOrElse(id, Set.empty).contains(id) }
+    assert(recallR >= recall,
+      s"residual IVFADC recall $recallR/40 below raw variant $recall/40 at equal m")
   }
 
   test("PQ codebook training: Lloyd's iterations do not increase distortion") {
