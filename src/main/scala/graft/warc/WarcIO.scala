@@ -185,6 +185,22 @@ object WarcIO {
       .select(col("content")).as[Array[Byte]], maxInflated)
   }
 
+  /** Ingest a directory of legacy `.arc` / `.arc.gz` files (the pre-WARC
+    * Internet-Archive container — see [[ArcCodec]]) as the same WarcRow
+    * stream [[read]] produces, so `toPages` and everything downstream
+    * consume old ARC corpora unchanged. */
+  def readArc(spark: SparkSession, dir: String,
+      maxInflated: Long = WarcCodec.DefaultMaxInflated): Dataset[WarcRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{arc,arc.gz}")
+      .load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => ArcCodec.decodeAuto(bytes, maxInflated).map(r =>
+        WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
+          r.payload)))
+  }
+
   /** The binaryFile source's fixed schema (a streaming read must declare
     * it — file streams don't infer). */
   private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -136,6 +136,64 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcIO.write(withNulls, dir2) == 1)
   }
 
+  test("ArcCodec: legacy ARC archives (plain + per-record gzip) decode to " +
+      "the WARC record stream") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def rec(url: String, date: String, ct: String, body: String,
+        v2: Boolean = false): Array[Byte] = {
+      val b = body.getBytes(UTF_8)
+      val header =
+        if (v2) s"$url 1.2.3.4 $date $ct 200 checksum - 0 f.arc ${b.length}\n"
+        else s"$url 1.2.3.4 $date $ct ${b.length}\n"
+      header.getBytes(UTF_8) ++ b ++ "\n".getBytes(UTF_8)
+    }
+    val version = rec("filedesc://archive.arc", "20230101000000", "text/plain",
+      "1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n")
+    val r1 = rec("http://a.example.com/x", "20230102030405", "text/html",
+      "<html>alpha</html>")
+    val r2 = rec("http://b.example.com/y", "20230102030406", "text/plain",
+      "bravo body", v2 = true)
+    val plain = version ++ r1 ++ r2
+    val recs = graft.warc.ArcCodec.decode(plain)
+    assert(recs.map(_.targetUri) == Seq("http://a.example.com/x", "http://b.example.com/y"),
+      "version block must be skipped, both header arities parsed")
+    assert(recs.head.date == "2023-01-02T03:04:05Z")
+    assert(recs.head.warcType == "response")
+    assert(recs.head.contentType == "text/html")
+    assert(new String(recs.head.payload, UTF_8) == "<html>alpha</html>")
+    assert(new String(recs(1).payload, UTF_8) == "bravo body")
+    assert(recs.map(_.recordId).distinct.size == 2)
+    // the common IA form: each record its own gzip member, concatenated
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.finish(); g.close()
+      out.toByteArray
+    }
+    val gzBytes = gz(version) ++ gz(r1) ++ gz(r2)
+    val recsGz = graft.warc.ArcCodec.decodeAuto(gzBytes)
+    assert(recsGz.map(_.targetUri) == recs.map(_.targetUri))
+    assert(recsGz.zip(recs).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    // strictness: a length past the buffer end fails with the offset
+    val corrupt = "http://c/ 1.2.3.4 20230101000000 text/plain 99999\nshort".getBytes(UTF_8)
+    val e = intercept[IllegalArgumentException](graft.warc.ArcCodec.decode(corrupt))
+    assert(e.getMessage.contains("length 99999"))
+    // the Spark ingest path: directory scan -> WarcRow -> frontier pages
+    val dir = SparkTestBase.tmpDir("arc-ingest")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.arc"), plain)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-1.arc.gz"),
+      gz(rec("http://d.example.com/z", "20230103000000", "image/png", "PNGish")))
+    val rows = graft.warc.WarcIO.readArc(spark, dir)
+    assert(rows.count() == 3)
+    val pages = graft.warc.WarcIO.toPages(rows).collect()
+    assert(pages.map(_.url).sorted.toSeq == Seq("http://a.example.com/x",
+      "http://b.example.com/y", "http://d.example.com/z"))
+    assert(pages.forall(_.status == graft.model.CrawlStatus.FETCHED))
+    val d = pages.find(_.url == "http://d.example.com/z").get
+    assert(d.contentType == "image/png" && new String(d.content, UTF_8) == "PNGish")
+    assert(d.fetchTime == java.time.Instant.parse("2023-01-03T00:00:00Z").toEpochMilli)
+  }
+
   test("crawl -> warcexport -> warcimport roundtrip preserves the fetched corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
