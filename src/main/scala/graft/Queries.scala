@@ -1051,6 +1051,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** In-engine classifier TRAINING under the driver gate: the integer-exact
+    * batch perceptron (TextAnalysis.trainHashedBowPerceptron) learns to
+    * separate a deterministic two-class corpus (class words by doc parity,
+    * shared noise words balanced across classes), and every doc is scored
+    * under the trained weights. The oracle unrolls both training rounds in
+    * SQL — round 1 updates on ALL docs (w=0 scores everything 0, and
+    * label·0 ≤ 0), round 2 on the docs round 1 still misclassifies — so
+    * drift in the update rule, the misclassification margin, or the
+    * integer scoring breaks parity. All arithmetic is long-integer: no
+    * float summation rides the compare. */
+  private def qTrainClassifier(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val docs = base.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0,
+          lit("research insight useful detail evidence"))
+          .otherwise(lit("casino junk blather clickbait noise")),
+        lit(" the shared extra"), col("doc_id") % 5).as("text"))
+    val labels = base.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, 1).otherwise(-1).cast("int").as("label"))
+    val wts = graft.ops.TextAnalysis.trainHashedBowPerceptron(
+      docs, "doc_id", "text", labels, dim = 512, iters = 2)
+    val scored = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .withColumn("bucket", pmod(graft.ops.Dedup.hash40(col("word")), lit(512L)))
+      .join(broadcast(wts), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight")).cast("bigint").as("score"))
+    scored.join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("score"),
+        (col("label") * col("score") > 0).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B1-B4 as a driver-checked oracle (previously spec-only goldens): eight
     * messy-url templates — case/port/ref/dot-segment/session-id/empty-query
     * /&&-collapse shapes — run the full basic+regex normalizer chain as the
@@ -1361,6 +1397,7 @@ object Queries {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_train_classifier" -> (qTrainClassifier _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_uuid3_key" -> (qUuid3Key _),
     "q_fetch_schedule" -> (qFetchSchedule _),
@@ -2376,6 +2413,53 @@ object Queries {
          SELECT d.doc_id, s.sum_milli,
                 coalesce(s.n_tokens, 0) AS n_tokens, s.keep
          FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    "q_train_classifier" ->
+      // both perceptron rounds unrolled: round 1 updates on every doc
+      // (w=0 scores 0, label*0 <= 0), round 2 on the still-misclassified
+      """WITH docsrc AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0
+                    THEN 'research insight useful detail evidence'
+                    ELSE 'casino junk blather clickbait noise' END)
+                  || ' the shared extra' || (doc_id % 5) AS text
+           FROM documents),
+         lab AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS INTEGER) AS label
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    w -> w <> '')) AS word
+           FROM docsrc),
+         b AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 10))::BIGINT % 512 AS bucket,
+                  count(*) AS cnt
+           FROM toks GROUP BY 1, 2),
+         w1 AS (
+           SELECT b.bucket, CAST(sum(lab.label * b.cnt) AS BIGINT) AS w
+           FROM b JOIN lab USING (doc_id) GROUP BY b.bucket),
+         s2 AS (
+           SELECT b.doc_id, any_value(lab.label) AS label,
+                  CAST(sum(w1.w * b.cnt) AS BIGINT) AS score
+           FROM b JOIN w1 USING (bucket) JOIN lab USING (doc_id)
+           GROUP BY b.doc_id),
+         m2 AS (SELECT doc_id FROM s2 WHERE label * score <= 0),
+         d2 AS (
+           SELECT b.bucket, CAST(sum(lab.label * b.cnt) AS BIGINT) AS d
+           FROM b JOIN lab USING (doc_id)
+           WHERE b.doc_id IN (SELECT doc_id FROM m2)
+           GROUP BY b.bucket),
+         w2 AS (
+           SELECT w1.bucket, w1.w + coalesce(d2.d, 0) AS w
+           FROM w1 LEFT JOIN d2 USING (bucket)),
+         fin AS (
+           SELECT b.doc_id, CAST(sum(w2.w * b.cnt) AS BIGINT) AS score
+           FROM b JOIN w2 USING (bucket) GROUP BY b.doc_id)
+         SELECT fin.doc_id, lab.label, fin.score,
+                (lab.label * fin.score > 0) AS correct
+         FROM fin JOIN lab USING (doc_id) ORDER BY fin.doc_id""",
     "q_textprofile_sig" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -857,6 +857,70 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** In-engine training for the hashing-trick quality classifier — the
+    * missing half of the `hashedBowScore` seam (score-only until now; the
+    * model had to arrive from outside). A batch PERCEPTRON over the
+    * hashed bag-of-words counts, deliberately integer-exact: scores are
+    * Σ w[bucket]·count with long weights, the update adds label·count for
+    * every misclassified document, and a doc is misclassified when
+    * label·score ≤ 0 — no floats anywhere, so training is bit-reproducible
+    * across engines/cluster sizes and a DuckDB oracle replays it round for
+    * round (q_train_classifier). On linearly separable classes the
+    * perceptron converges to a perfect separator; the output (bucket,
+    * weight) table plugs straight into `hashedBowScore` /
+    * `CorpusPipeline.clean` (sign-preserving long -> double cast).
+    *
+    * Scale shape: the corpus aggregates ONCE into the (id, bucket, cnt)
+    * feature matrix — the same (id, short-key) stream hashedBowScore
+    * shuffles — and is persisted; each round is then two passes over it
+    * (a broadcast-weights score aggregate and a left-semi-gated update
+    * aggregate), both shuffling (id)/(bucket) short keys only. Weights
+    * live driver-side between rounds: dim-bounded by contract, the
+    * k-means-centroid discipline.
+    *
+    * `labels`: (idCol, label) with label ∈ {-1, +1}. Returns (bucket,
+    * weight: double) covering every bucket the corpus touches (untouched
+    * buckets stay implicitly 0, matching hashedBowScore's coalesce). */
+  def trainHashedBowPerceptron(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, dim: Int, iters: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val x = docs
+      .select(col(idCol), explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .withColumn("bucket", pmod(Dedup.hash40(col("word")), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .join(labels.select(col(idCol), col("label").cast("long").as("label")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    x.count()
+    var w = Map.empty[Long, Long]
+    var converged = false
+    var it = 0
+    while (it < iters && !converged) {
+      val wdf =
+        if (w.isEmpty) Seq.empty[(Long, Long)].toDF("bucket", "w")
+        else w.toSeq.toDF("bucket", "w")
+      val mis = x
+        .join(org.apache.spark.sql.functions.broadcast(wdf), Seq("bucket"), "left_outer")
+        .groupBy(col(idCol), col("label"))
+        .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("score"))
+        .where(col("label") * col("score") <= 0)
+        .select(col(idCol))
+      val delta = x.join(mis, Seq(idCol), "left_semi")
+        .groupBy(col("bucket")).agg(sum(col("label") * col("cnt")).as("d"))
+        .collect() // dim-bounded driver state, like k-means centroids
+      if (delta.isEmpty) converged = true
+      else delta.foreach { r =>
+        val b = r.getLong(0)
+        w = w.updated(b, w.getOrElse(b, 0L) + r.getLong(1))
+      }
+      it += 1
+    }
+    val touched = x.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // dim-bounded
+    x.unpersist()
+    touched.toSeq.map(b => (b, w.getOrElse(b, 0L).toDouble)).toDF("bucket", "weight")
+  }
+
   /** A deterministic md5-derived weight table in [-0.5, 0.5) — the
     * stand-in "model" for tests and oracles (a real model replaces it row
     * for row; the scoring plan is identical). */

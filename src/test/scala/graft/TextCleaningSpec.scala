@@ -234,6 +234,41 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(scores(1L) > 0 && scores(2L) < 0)
   }
 
+  test("trainHashedBowPerceptron: separates a planted good/bad corpus and " +
+      "the trained model gates the pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{CorpusPipeline, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = 256
+    // 40 docs, two planted classes with shared noise words; proper
+    // sentences so the same docs survive the pipeline's earlier gates
+    val docs = (0L until 40L).map { i =>
+      val body =
+        if (i % 2 == 0) s"Informative research evidence with insight number $i appears here."
+        else s"Casino junk clickbait blather noise number $i appears here."
+      (i, body)
+    }.toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, 1).otherwise(-1).as("label"))
+    val w = TextAnalysis.trainHashedBowPerceptron(
+      docs, "doc_id", "text", labels, dim, iters = 10)
+    // perceptron converges on separable classes: 100% training accuracy,
+    // read through the same hashedBowScore surface production scoring uses
+    // (the mean weight has the integer score's sign)
+    val scores = TextAnalysis.hashedBowScore(docs, "doc_id", "text", w, dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 40L).foreach { i =>
+      if (i % 2 == 0) assert(scores(i) > 0, s"good doc $i scored ${scores(i)}")
+      else assert(scores(i) < 0, s"junk doc $i scored ${scores(i)}")
+    }
+    // the trained table IS a pipeline model: clean() keeps only the good class
+    val kept = CorpusPipeline.clean(docs, "doc_id", "text",
+        weights = Some(w), classifierDim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 40L).filter(_ % 2 == 0).toSet, s"got $kept")
+  }
+
   test("CorpusPipeline.clean: language gate keeps only langKeep docs") {
     import graft.ops.{CorpusPipeline, TextAnalysis}
     val docs = docsOf(
