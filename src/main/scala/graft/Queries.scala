@@ -1300,6 +1300,36 @@ object Queries {
         count(lit(1)).as("n_feat_normalized"),
         count(lit(1)).as("n_resized_ok"))
       .select("fmt", "n_images", "n_phash_match", "n_feat_normalized", "n_resized_ok")
+    // jpeg: the from-scratch baseline codec end-to-end — smooth test cards
+    // encode at q90, the decode must clear the north-rule's PSNR>=40dB
+    // verification bar against the independently re-synthesized original,
+    // features L1-normalize, and resize (decode jpeg -> encode png) lands
+    // at the target size
+    val jpegImgs = s.range(0, 64).map { id =>
+      val px = graft.images.ImageSynth.smoothPixelsFor(id, 24, 24)
+      (s"jpg-$id", graft.images.JpegCodec.encodeRgb(px, 24, 24, quality = 90), "jpeg")
+    }.toDF("image_id", "bytes", "fmt")
+    val jpegPsnr = jpegImgs.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (dec, _, _) = graft.images.ImageSynth.decodeRgb(bytes)
+        val orig = graft.images.ImageSynth.smoothPixelsFor(
+          id.stripPrefix("jpg-").toLong, 24, 24)
+        (id, graft.images.ImageSynth.psnr(orig, dec))
+      }.toDF("id", "psnr")
+    val jpegFeat = Multimodal.imageFeatures(jpegImgs)
+      .map(f => (f.id, f.feature.sum.toDouble)).toDF("id", "jl1")
+    val jpegRz = Multimodal.imageMeta(Multimodal.resize(jpegImgs, 8, 8).toDF()
+        .select(col("id").as("image_id"), col("bytes"), lit("png").as("fmt"))).toDF()
+      .select(col("id"), col("w").as("jrw"), col("h").as("jrh"))
+    val jpegRows = Multimodal.imageMeta(jpegImgs).toDF()
+      .join(jpegPsnr, Seq("id")).join(jpegFeat, Seq("id")).join(jpegRz, Seq("id"))
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("psnr") >= 40.0, 1).otherwise(0)).as("n_phash_match"),
+        sum(when(abs(col("jl1") - 3.0) < 1e-3, 1).otherwise(0)).as("n_feat_normalized"),
+        sum(when(col("jrw") === 8 && col("jrh") === 8, 1).otherwise(0)).as("n_resized_ok"))
     // video: real Y4M decode — sampled-frame phash must equal the phash of
     // the independently re-synthesized decoded luma plane
     val videoRows = Multimodal.videoFrameSample(graft.media.MediaSynth.videoDf(s, 64), 4)
@@ -1323,7 +1353,7 @@ object Queries {
     // the full universe of 64 is present). A broken decode no longer
     // produces a plausible 3-row result — it drops rows, which the
     // rows-only correctness record catches.
-    imageRows.union(audioRows).union(videoRows)
+    imageRows.union(jpegRows).union(audioRows).union(videoRows)
       .where(col("n_images") === 64 &&
         col("n_phash_match") === col("n_images") &&
         col("n_feat_normalized") === col("n_images") &&

@@ -77,8 +77,11 @@ object ImageSynth {
     PngCodec.encodeRgb(pixels, w, h)
 
   /** Decode to raw RGB. PNGs in the engine's subset decode through the
-    * thread-local codec; anything else falls back to ImageIO. */
+    * thread-local codec; JPEGs (the dominant real-corpus format) through
+    * the from-scratch baseline JpegCodec; anything else falls back to
+    * ImageIO. */
   def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    if (JpegCodec.isJpeg(bytes)) return JpegCodec.decodeRgb(bytes)
     val fast = PngCodec.decodeRgb(bytes)
     if (fast != null) return fast
     decodeRgbImageIO(bytes)
@@ -119,6 +122,29 @@ object ImageSynth {
   }
 
   def phashOf(pixels: Array[Byte]): Long = longFrom(md5(pixels))
+
+  /** Smooth deterministic test card (seeded gradients): the content class
+    * a LOSSY codec can be PSNR-gated on — the white-noise `pixelsFor`
+    * universe has no compressible structure, so no bitrate-sane JPEG
+    * clears 40 dB on it, while gradients do. */
+  def smoothPixelsFor(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    def clamp(v: Long): Byte = math.max(0L, math.min(255L, v)).toByte
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = clamp(x.toLong * 255 / math.max(1, w - 1) + (seed * 7) % 48)
+        out(i + 1) = clamp(y.toLong * 255 / math.max(1, h - 1) + (seed * 11) % 48)
+        out(i + 2) = clamp((x + y).toLong * 255 / math.max(1, w + h - 2) + (seed * 13) % 48)
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   private val captionWords = Array(
     "amber", "basalt", "cobalt", "delta", "ember", "fjord", "garnet", "helix",

@@ -10,14 +10,17 @@ import graft.images.ImageSynth
   * schema contract, executed inside WholeStageCodegen-adjacent
   * `mapPartitions`).
   *
-  * PNG decode/resize/feature-extract are REAL (from-scratch PngCodec);
-  * audio and video are REAL for the uncompressed members of each family —
-  * RIFF/WAVE PCM16 (graft.media.WavCodec) and YUV4MPEG2
-  * (graft.media.Y4mCodec), both from-scratch decoders of public formats.
-  * Compressed codecs (MP3/Opus, H.264/VP9) are not in this container;
-  * non-WAV/non-Y4M payloads fall back to a clearly-marked deterministic
-  * byte-window fake so the distributed plumbing — schema, partitioning,
-  * batch shape — stays total and tested either way.
+  * PNG and baseline JPEG decode/resize/feature-extract are REAL
+  * (from-scratch PngCodec and JpegCodec — the latter covering the
+  * dominant real-corpus image format incl. 4:2:0 subsampling, verified
+  * against the JDK's independent decoder in JpegSpec); audio and video
+  * are REAL for the uncompressed members of each family — RIFF/WAVE PCM16
+  * (graft.media.WavCodec) and YUV4MPEG2 (graft.media.Y4mCodec), both
+  * from-scratch decoders of public formats. Compressed AUDIO/VIDEO codecs
+  * (MP3/Opus, H.264/VP9) are not in this container; non-WAV/non-Y4M
+  * payloads fall back to a clearly-marked deterministic byte-window fake
+  * so the distributed plumbing — schema, partitioning, batch shape —
+  * stays total and tested either way.
   */
 object Multimodal {
 
