@@ -280,16 +280,25 @@ object Bench {
       val docs = spark.read.parquet(s"$opsDir/docs.parquet")
       val vecs = spark.read.parquet(s"$opsDir/vecs.parquet")
       // quantizers train on a sample once (offline artifacts of a real
-      // deployment); searches/encodes are the recurring cost measured here
+      // deployment); searches/encodes are the recurring cost measured
+      // here. Training still reports min-of-k: the round-5 official run
+      // recorded a single-shot pq_train of 60.5 s whose isolated
+      // steady-state was 11.8-11.9 s (cold JIT + a noisy window on the
+      // first heavy job of a fresh phase) — the same lesson every other
+      // phase already learned.
+      val trainReps = sys.env.getOrElse("SPARK_GRAFT_TRAIN_REPS", "2").toInt
       val sample = vecs.where(col("vec_id") % 8 === 0)
-      val (centroids, tTrainIvf) = time {
-        val c = graft.ops.Similarity.kmeansCentroids(sample, "vec_id", "embedding", 64, iters = 2)
-        c.persist().count(); c
+      def minOf(reps: Int)(f: => org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, Double) = {
+        val runs = (1 to reps).map { _ => time { val c = f; c.persist().count(); c } }
+        val best = runs.minBy(_._2)
+        runs.filter(_ ne best).foreach(_._1.unpersist())
+        best
       }
-      val (cb, tTrainPq) = time {
-        val c = graft.ops.Similarity.pqCodebooks(sample, "vec_id", "embedding", 64, 8, 256, iters = 2)
-        c.persist().count(); c
-      }
+      val (centroids, tTrainIvf) = minOf(trainReps)(
+        graft.ops.Similarity.kmeansCentroids(sample, "vec_id", "embedding", 64, iters = 2))
+      val (cb, tTrainPq) = minOf(trainReps)(
+        graft.ops.Similarity.pqCodebooks(sample, "vec_id", "embedding", 64, 8, 256, iters = 2))
       val probes = vecs.where(col("vec_id") < 16)
       val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "pack_greedy" -> (() => graft.ops.Packing.packGreedy(docs, "doc_id", "n_tokens", 2048L, cpus * 2)),
