@@ -30,6 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "72g")}",
+  // lets `sbt runMain` drive mains that expect spark-submit to set the
+  // master (e.g. graft.crawl.CrawlMain): SPARK_MASTER=local[8] sbt ...
+  s"-Dspark.master=${sys.env.getOrElse("SPARK_MASTER", "local[32]")}",
 )
 // Benchmark JVMs (runMain graft.Bench / Verify) pre-commit and pre-touch the
 // heap: lazy heap expansion means the first big crawl round pays tens of

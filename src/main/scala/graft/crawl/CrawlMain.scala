@@ -33,7 +33,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|dmozparser|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|arcimport|dmozparser|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -255,22 +255,28 @@ object CrawlMain {
               "[--out <dir>] [--subset N] [--skew N] [--topic regex] [--include-adult]")
             sys.exit(2)
         }
-      case "warcimport" => // third-party WARC dump -> fetched frontier rows
+      case "warcimport" | "arcimport" => // archive dump -> fetched frontier rows
+        // arcimport = the reference's ArcSegmentCreator role (ARC archive ->
+        // crawl segment): legacy .arc/.arc.gz files land as fetched pages
+        // through the identical WarcRow surface
         arg(args, "in") match {
           case Some(in) =>
             import spark.implicits._
             val crawl = crawlOf()
+            val rows =
+              if (cmd == "arcimport") graft.warc.WarcIO.readArc(spark, in)
+              else graft.warc.WarcIO.read(spark, in)
             val pages = graft.warc.WarcIO.toPages(
-              graft.warc.WarcIO.read(spark, in), batchId = s"warc-$round", round = round)
+              rows, batchId = s"$cmd-$round", round = round)
               .toDF().persist()
             // append returns the new snapshot id, not a row count — count
             // the persisted frame so the decode doesn't run twice
             val n = pages.count()
             crawl.table.append(pages, round, "fetch")
             pages.unpersist()
-            println(s"warcimport: $n pages <- $in")
+            println(s"$cmd: $n pages <- $in")
           case None =>
-            System.err.println("usage: warcimport --table d --in <dir>")
+            System.err.println(s"usage: $cmd --table d --in <dir>")
             sys.exit(2)
         }
       case other =>

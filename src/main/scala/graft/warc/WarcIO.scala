@@ -201,6 +201,21 @@ object WarcIO {
           r.payload)))
   }
 
+  /** Continuous ARC ingest — the streaming counterpart of [[readArc]],
+    * same file-stream exactly-once contract as [[readStream]]. */
+  def readArcStream(spark: SparkSession, dir: String,
+      maxInflated: Long = WarcCodec.DefaultMaxInflated): Dataset[WarcRow] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.{arc,arc.gz}")
+      .load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => ArcCodec.decodeAuto(bytes, maxInflated).map(r =>
+        WarcRow(r.targetUri, r.warcType, r.date, r.recordId, r.contentType,
+          r.payload)))
+  }
+
   /** The binaryFile source's fixed schema (a streaming read must declare
     * it — file streams don't infer). */
   private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -192,6 +192,17 @@ class WarcSpec extends AnyFunSuite {
     val d = pages.find(_.url == "http://d.example.com/z").get
     assert(d.contentType == "image/png" && new String(d.content, UTF_8) == "PNGish")
     assert(d.fetchTime == java.time.Instant.parse("2023-01-03T00:00:00Z").toEpochMilli)
+    // streaming counterpart: the same directory through the file stream
+    val q = graft.warc.WarcIO.readArcStream(spark, dir)
+      .select(org.apache.spark.sql.functions.col("url"))
+      .writeStream.format("memory").queryName("arc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select url from arc_stream")
+        .collect().map(_.getString(0)).toSet ==
+        Set("http://a.example.com/x", "http://b.example.com/y", "http://d.example.com/z"))
+    } finally q.stop()
   }
 
   test("crawl -> warcexport -> warcimport roundtrip preserves the fetched corpus") {
