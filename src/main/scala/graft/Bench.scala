@@ -300,13 +300,19 @@ object Bench {
       val (cb, tTrainPq) = minOf(trainReps)(
         graft.ops.Similarity.pqCodebooks(sample, "vec_id", "embedding", 64, 8, 256, iters = 2))
       val probes = vecs.where(col("vec_id") < 16)
+      // the index is the deployment's offline artifact: built once (timed
+      // separately as the one-time cost), then searches min-of-k over the
+      // persisted codes — the recurring cost. Round 5's composed
+      // "ivfpq_search" number (9.2 s) was mostly per-call index build.
+      val (index, tIndex) = minOf(trainReps)(graft.ops.Similarity.ivfPqIndex(
+        vecs, centroids, cb, "vec_id", "embedding", 64, 8))
       val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "pack_greedy" -> (() => graft.ops.Packing.packGreedy(docs, "doc_id", "n_tokens", 2048L, cpus * 2)),
         "pack_concat" -> (() => graft.ops.Packing.packConcat(docs, "doc_id", "n_tokens", 2048L, cpus * 2)),
         "token_budget_mix" -> (() => graft.ops.Sampling.tokenBudgetSample(docs, "doc_id", "source",
           "n_tokens", Map.empty, defaultBudget = opsRows * 8, nShards = cpus * 2)),
         "pq_encode" -> (() => graft.ops.Similarity.pqEncode(vecs, "vec_id", "embedding", cb, 64, 8)),
-        "ivfpq_search" -> (() => graft.ops.Similarity.ivfPqNearest(vecs, probes, centroids, cb,
+        "ivfpq_search" -> (() => graft.ops.Similarity.ivfPqSearch(index, probes, centroids, cb,
           "vec_id", "embedding", 64, 8, nProbe = 8, k = 10)))
       // same discipline as the headline: interleaved passes, min-of-k
       val samples = scala.collection.mutable.LinkedHashMap(
@@ -314,13 +320,19 @@ object Bench {
       (1 to qReps).foreach { _ =>
         ops.foreach { case (n, fn) =>
           val (_, secs) = time(run(fn()))
-          spark.catalog.clearCache()
+          // NO clearCache here (unlike the headline loop): these ops
+          // persist no internal intermediates, and a blanket clear would
+          // also evict the OFFLINE artifacts (centroids/codebooks/index)
+          // — which silently turned every "search" rep into a full index
+          // rebuild (measured: search-over-cached-index 1s-class vs 11 s
+          // with the artifacts evicted)
           samples(n) = secs :: samples(n)
         }
       }
-      centroids.unpersist(); cb.unpersist()
+      centroids.unpersist(); cb.unpersist(); index.unpersist()
       Map("rows" -> opsRows.toDouble, "pq_rows" -> pqRows.toDouble,
-        "ivf_train_sec" -> tTrainIvf, "pq_train_sec" -> tTrainPq) ++
+        "ivf_train_sec" -> tTrainIvf, "pq_train_sec" -> tTrainPq,
+        "ivfpq_build_sec" -> tIndex) ++
         samples.map { case (n, ss) => s"${n}_sec" -> ss.min } ++
         Map("pack_greedy_mrows_per_sec" -> opsRows / samples("pack_greedy").min / 1e6,
           "pq_encode_kvecs_per_sec" -> pqRows / samples("pq_encode").min / 1e3)
