@@ -200,15 +200,18 @@ object LinkDb {
     import spark.implicits._
     val schedule = FetchSchedule(conf)
     val opic = ScoringFilter(conf)
-    val targets = edges
-      .groupByKey(_.key)
-      .mapGroups { (key, it) =>
-        // one candidate per key: keep the closest-to-seed edge (the
-        // reference's putIfAbsent keeps whichever arrives first; closest
-        // distance is the deterministic choice)
-        val best = it.minBy(e => (e.distance, e.out))
-        (key, best.out)
-      }
+    // one candidate per key: keep the closest-to-seed edge (the
+    // reference's putIfAbsent keeps whichever arrives first; (distance,
+    // out) is the deterministic choice). Columnar min-over-struct, not a
+    // typed mapGroups: struct ordering IS the (distance, out) tie-break,
+    // the aggregation partial-aggregates map-side, and only (key,
+    // distance, out) ride the exchange — a mapGroups would shuffle whole
+    // LinkEdge rows (anchor text included) with no combiner.
+    val targets = edges.toDF()
+      .select(col("key"), col("distance"), col("out"))
+      .groupBy(col("key"))
+      .agg(min(struct(col("distance"), col("out"))).as("b"))
+      .select(col("key"), col("b.out").as("url"))
     // no .distinct() on the store key column in either branch: anti/semi
     // join semantics are insensitive to right-side duplicates, and the
     // distinct was a full-store Exchange paid for nothing
