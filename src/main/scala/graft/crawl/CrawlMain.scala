@@ -33,7 +33,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|arcimport|dmozparser|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|arcimport|dmozparser|sitemapparse|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -253,6 +253,23 @@ object CrawlMain {
           case None =>
             System.err.println("usage: dmozparser --rdf <file-or-dir> " +
               "[--out <dir>] [--subset N] [--skew N] [--topic regex] [--include-adult]")
+            sys.exit(2)
+        }
+      case "sitemapparse" => // sitemap payloads -> seed urls (Nutch 1.x SitemapProcessor role)
+        arg(args, "in") match {
+          case Some(in) =>
+            val es = graft.jobs.Sitemaps.parseSitemaps(spark, in)
+            arg(args, "out") match {
+              case Some(out) => // url-per-line seed files, ready for inject
+                es.filter(!_.isIndex).map(_.url)(org.apache.spark.sql.Encoders.STRING)
+                  .write.mode("overwrite").text(out)
+                println(s"sitemapparse: seeds -> $out")
+              case None =>
+                es.collect().foreach(e =>
+                  println((if (e.isIndex) "index:\t" else "") + e.url))
+            }
+          case None =>
+            System.err.println("usage: sitemapparse --in <dir> [--out <dir>]")
             sys.exit(2)
         }
       case "warcimport" | "arcimport" => // archive dump -> fetched frontier rows

@@ -174,8 +174,12 @@ object JpegCodec {
     zz
   }
 
-  /** Encode raw RGB as baseline JFIF (YCbCr 4:4:4). */
-  def encodeRgb(pixels: Array[Byte], w: Int, h: Int, quality: Int = 90): Array[Byte] = {
+  /** Encode raw RGB as baseline JFIF (YCbCr 4:4:4). `restartInterval > 0`
+    * emits a DRI segment and an RSTn marker every that-many MCUs (byte-
+    * aligned, DC predictors reset) — the error-resilience feature real
+    * crawled JPEGs carry and the decoder must handle. */
+  def encodeRgb(pixels: Array[Byte], w: Int, h: Int, quality: Int = 90,
+      restartInterval: Int = 0): Array[Byte] = {
     require(pixels.length == w * h * 3, s"pixel buffer ${pixels.length} != $w x $h x 3")
     val qY = scaledQ(QLuma, quality)
     val qC = scaledQ(QChroma, quality)
@@ -199,6 +203,8 @@ object JpegCodec {
     dht(1, 0, AcLumaBits, AcLumaVals)
     dht(0, 1, DcChromaBits, DcChromaVals)
     dht(1, 1, AcChromaBits, AcChromaVals)
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
     val dcY = huffCodes(DcLumaBits, DcLumaVals)
     val acY = huffCodes(AcLumaBits, AcLumaVals)
@@ -232,10 +238,18 @@ object JpegCodec {
     }
     // YCbCr planes, edge-replicated to the block grid
     val block = new Array[Double](64)
+    var mcuIdx = 0
     var by = 0
     while (by < (h + 7) / 8) {
       var bx = 0
       while (bx < (w + 7) / 8) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          // byte-align (1-padding, stuffing applies), emit RSTn, reset DC
+          bw.flush()
+          out.write(0xff)
+          out.write(0xd0 + ((mcuIdx / restartInterval - 1) % 8))
+          preds(0) = 0; preds(1) = 0; preds(2) = 0
+        }
         var comp = 0
         while (comp < 3) {
           var yy = 0
@@ -261,6 +275,7 @@ object JpegCodec {
           encodeBlock(fdctQuant(block, if (comp == 0) qY else qC), comp)
           comp += 1
         }
+        mcuIdx += 1
         bx += 1
       }
       by += 1

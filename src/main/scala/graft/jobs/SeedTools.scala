@@ -91,3 +91,103 @@ object SeedTools {
         subsetDenom, includeAdult, skew, topicPattern))
   }
 }
+
+/** One sitemap entry: a seed url with the optional crawl hints the
+  * protocol defines (lastmod as epoch ms when parsable, priority
+  * defaulting to the spec's 0.5), or a nested sub-sitemap reference
+  * (`isIndex = true`) from a sitemapindex file. */
+final case class SitemapEntry(url: String, lastmod: Long, priority: Double,
+    isIndex: Boolean)
+
+/** Sitemap processing (sitemaps.org protocol; the Nutch 1.x
+  * SitemapProcessor role — the 2.x reference collects `Sitemap:` lines
+  * from robots.txt (RobotsTxtParser/RobotsRule.sitemaps) but never ships
+  * a consumer; this closes that loop: robots → sitemap payloads → seed
+  * rows → inject). Handles the three wire forms:
+  *
+  *  - XML urlset: `<url><loc>…</loc> [<lastmod>] [<priority>]</url>`
+  *  - XML sitemapindex: `<sitemap><loc>…</loc></sitemap>` (emitted with
+  *    `isIndex = true` so the caller fetches and parses another level)
+  *  - plain text: one url per line
+  *
+  * plus gzipped payloads of any of them (`.xml.gz` — the strict bounded
+  * member-wise inflate the archive readers share). The XML scan is the
+  * DMOZ discipline: one sequential regex pass, O(payload) memory, never
+  * a DOM; entities unescape; urls longer than 2048 chars or outside
+  * http(s) are dropped per the protocol's own limits.
+  */
+object Sitemaps {
+
+  private val UrlBlockRe = """(?s)<url\s*>(.*?)</url\s*>""".r
+  private val IndexBlockRe = """(?s)<sitemap\s*>(.*?)</sitemap\s*>""".r
+  private val LocRe = """(?s)<loc\s*>(.*?)</loc\s*>""".r
+  private val LastmodRe = """(?s)<lastmod\s*>(.*?)</lastmod\s*>""".r
+  private val PriorityRe = """(?s)<priority\s*>(.*?)</priority\s*>""".r
+
+  private def unescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&apos;", "'")
+    .replace("&amp;", "&")
+
+  /** W3C datetime (the protocol's lastmod format): date-only or full
+    * timestamp with offset -> epoch ms; unparsable -> 0. */
+  def parseLastmod(s: String): Long = {
+    val t = s.trim
+    if (t.isEmpty) 0L
+    else try {
+      if (t.length <= 10) // YYYY-MM-DD
+        java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli
+      else java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+    } catch { case _: java.time.format.DateTimeParseException => 0L }
+  }
+
+  private def validUrl(u: String): Boolean =
+    u.length <= 2048 && (u.startsWith("http://") || u.startsWith("https://"))
+
+  /** Pure per-payload parse — also the test surface. Sniffs gzip, then
+    * XML-vs-text by the presence of a `<loc>` tag. */
+  def parseContent(bytes: Array[Byte],
+      maxInflated: Long = graft.warc.WarcCodec.DefaultMaxInflated): Seq[SitemapEntry] = {
+    val raw =
+      if (graft.warc.WarcCodec.isGzip(bytes))
+        graft.warc.WarcCodec.gunzipStrict(bytes, maxInflated)
+      else bytes
+    val text = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    if (LocRe.findFirstIn(text).isDefined) {
+      val urls = UrlBlockRe.findAllMatchIn(text).flatMap { m =>
+        val body = m.group(1)
+        LocRe.findFirstMatchIn(body).map(l => (unescape(l.group(1)).trim, body))
+      }.collect { case (u, body) if validUrl(u) =>
+        SitemapEntry(u,
+          LastmodRe.findFirstMatchIn(body)
+            .map(x => parseLastmod(unescape(x.group(1)))).getOrElse(0L),
+          PriorityRe.findFirstMatchIn(body)
+            .flatMap(x => x.group(1).trim.toDoubleOption).getOrElse(0.5),
+          isIndex = false)
+      }
+      val subs = IndexBlockRe.findAllMatchIn(text).flatMap(m =>
+        LocRe.findFirstMatchIn(m.group(1)).map(l => unescape(l.group(1)).trim))
+        .collect { case u if validUrl(u) =>
+          SitemapEntry(u, 0L, 0.5, isIndex = true)
+        }
+      (urls ++ subs).toSeq
+    } else
+      // plain-text sitemap: one url per line
+      text.linesIterator.map(_.trim).filter(validUrl)
+        .map(SitemapEntry(_, 0L, 0.5, isIndex = false)).toSeq
+  }
+
+  /** Distributed parse of a directory of fetched sitemap payloads
+    * (binaryFile source — parallelism = file count, the WARC/DMOZ
+    * contract). Entry point for the robots→sitemap loop: fetch each
+    * `RobotsRule.sitemaps` url, drop the payloads in a dir (or pass any
+    * (bytes) frame), parse here, inject the non-index urls, recurse on
+    * the index rows. */
+  def parseSitemaps(spark: SparkSession, path: String): Dataset[SitemapEntry] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => parseContent(bytes))
+  }
+}

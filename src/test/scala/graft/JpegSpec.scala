@@ -145,6 +145,27 @@ class JpegSpec extends AnyFunSuite {
     assert(worst <= 4, s"luma disagreement $worst vs ImageIO raster")
   }
 
+  test("restart markers (DRI/RSTn): byte-aligned intervals, DC-predictor resets") {
+    val (w, h) = (48, 40) // 6x5 = 30 MCUs at 4:4:4
+    val px = gradient(w, h)
+    val jpeg = JpegCodec.encodeRgb(px, w, h, quality = 90, restartInterval = 4)
+    // the stream genuinely carries restart markers (RST0 = 0xFFD0 first)
+    val hasRst = jpeg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(hasRst, "no RSTn emitted at restartInterval = 4")
+    val (ours, dw, dh) = JpegCodec.decodeRgb(jpeg)
+    assert((dw, dh) == ((w, h)))
+    assert(ImageSynth.psnr(px, ours) >= 40.0)
+    // the independent decoder accepts the same restart-marked stream and
+    // agrees — marker placement, alignment and DC resets are all conformant
+    val (theirs, _, _) = imageIoDecode(jpeg)
+    assert(maxAbsDiff(ours, theirs) <= 4)
+    // and the stream equals the no-restart encode pixel-for-pixel after
+    // decode (restarts change framing, never content)
+    val (plain, _, _) = JpegCodec.decodeRgb(JpegCodec.encodeRgb(px, w, h, quality = 90))
+    assert(maxAbsDiff(ours, plain) <= 2)
+  }
+
   test("strict on malformed input; auto-detected by the image decode surface") {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(Array[Byte](1, 2, 3)))
     val good = JpegCodec.encodeRgb(gradient(16, 16), 16, 16)

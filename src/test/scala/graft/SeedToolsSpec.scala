@@ -92,4 +92,78 @@ class SeedToolsSpec extends AnyFunSuite {
       graft.crawl.CrawlConfig(), 0L)
     assert(injected.count() == 3)
   }
+
+  // ------------------------------------------------------------- sitemaps
+
+  private val urlset =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc>http://a.example.com/page?x=1&amp;y=2</loc>
+      |       <lastmod>2024-03-05</lastmod><priority>0.8</priority></url>
+      |  <url><loc>http://a.example.com/plain</loc></url>
+      |  <url><loc>http://a.example.com/stamped</loc>
+      |       <lastmod>2024-03-05T12:30:00+02:00</lastmod></url>
+      |  <url><loc>ftp://not.http/scheme</loc></url>
+      |</urlset>""".stripMargin
+
+  test("sitemap urlset: loc/lastmod/priority, entities, scheme validation") {
+    import graft.jobs.Sitemaps
+    val es = Sitemaps.parseContent(urlset.getBytes("UTF-8"))
+    assert(es.map(_.url) == Seq(
+      "http://a.example.com/page?x=1&y=2",
+      "http://a.example.com/plain",
+      "http://a.example.com/stamped"))
+    assert(es(0).priority == 0.8 && es(1).priority == 0.5)
+    assert(es(0).lastmod ==
+      java.time.LocalDate.parse("2024-03-05").atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli)
+    assert(es(2).lastmod ==
+      java.time.OffsetDateTime.parse("2024-03-05T12:30:00+02:00").toInstant.toEpochMilli)
+    assert(es.forall(!_.isIndex))
+  }
+
+  test("sitemapindex + plain-text + gzip forms") {
+    import graft.jobs.Sitemaps
+    val index =
+      """<sitemapindex><sitemap><loc>http://a.example.com/s1.xml.gz</loc></sitemap>
+        |<sitemap><loc>http://a.example.com/s2.xml</loc></sitemap></sitemapindex>""".stripMargin
+    val idx = Sitemaps.parseContent(index.getBytes("UTF-8"))
+    assert(idx.map(_.url) == Seq("http://a.example.com/s1.xml.gz",
+      "http://a.example.com/s2.xml"))
+    assert(idx.forall(_.isIndex))
+    val txt = "http://t.example.com/1\nnot a url\nhttps://t.example.com/2\n"
+    assert(Sitemaps.parseContent(txt.getBytes("UTF-8")).map(_.url) ==
+      Seq("http://t.example.com/1", "https://t.example.com/2"))
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(urlset.getBytes("UTF-8")); gz.finish(); gz.close()
+    assert(Sitemaps.parseContent(out.toByteArray).map(_.url).head ==
+      "http://a.example.com/page?x=1&y=2")
+  }
+
+  test("distributed sitemap parse + robots Sitemap: line handoff") {
+    import graft.jobs.Sitemaps
+    // robots.txt advertises the sitemap (the reference collects these
+    // lines; this op is their consumer)
+    val rules = graft.site.RobotsTxtParser.parse("bot",
+      "User-agent: *\nDisallow:\nSitemap: http://a.example.com/sitemap.xml\n", "bot")
+    assert(rules.sitemaps == Seq("http://a.example.com/sitemap.xml"))
+    val dir = SparkTestBase.tmpDir("sitemaps")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "sitemap.xml"),
+      urlset.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "more.txt"),
+      "http://t.example.com/1\n".getBytes("UTF-8"))
+    val es = Sitemaps.parseSitemaps(spark, dir).collect()
+    assert(es.length == 4)
+    // inject handoff: non-index entries become frontier seeds — and the
+    // inject-scope URL filter chain still applies (the reference's default
+    // `-.*[?*!@=].*` rule drops the query-string url)
+    import spark.implicits._
+    val conf = graft.crawl.CrawlConfig(numPartitions = 2)
+    val pages = graft.jobs.InjectorJob.inject(spark,
+      es.filter(!_.isIndex).map(_.url).toSeq.toDS(), conf, 1234L).collect()
+    assert(pages.map(_.url).sorted.toSeq == Seq("http://a.example.com/plain",
+      "http://a.example.com/stamped", "http://t.example.com/1"))
+    assert(pages.forall(_.status == graft.model.CrawlStatus.UNFETCHED))
+  }
 }
