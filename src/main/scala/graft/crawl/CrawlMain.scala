@@ -33,7 +33,7 @@ object CrawlMain {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|arcimport|dmozparser|sitemapparse|robots> [--table d] [--images d] ...")
+      System.err.println("usage: CrawlMain <inject|generate|fetch|updatedb|crawl|readdb|hostdb|hostinject|readhostdb|linkdb|compact|cleandb|index|indexdedup|indexclean|parsecheck|indexcheck|warcexport|warcimport|arcimport|cdxindex|dmozparser|sitemapparse|robots> [--table d] [--images d] ...")
       sys.exit(2)
     }
     val cmd = args.head
@@ -253,6 +253,15 @@ object CrawlMain {
           case None =>
             System.err.println("usage: dmozparser --rdf <file-or-dir> " +
               "[--out <dir>] [--subset N] [--skew N] [--topic regex] [--include-adult]")
+            sys.exit(2)
+        }
+      case "cdxindex" => // WARC archive dir -> CDX lookup index
+        (arg(args, "in"), arg(args, "out")) match {
+          case (Some(in), Some(out)) =>
+            graft.warc.CdxIO.writeCdxText(graft.warc.CdxIO.index(spark, in), out)
+            println(s"cdxindex: $in -> $out")
+          case _ =>
+            System.err.println("usage: cdxindex --in <warc dir> --out <dir>")
             sys.exit(2)
         }
       case "sitemapparse" => // sitemap payloads -> seed urls (Nutch 1.x SitemapProcessor role)

@@ -198,11 +198,17 @@ object WarcCodec {
     * violation (bad magic, missing Content-Length, a length past the end
     * of the buffer, an unterminated header block) raises with the byte
     * offset in the message. */
-  def decode(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val recs = Seq.newBuilder[WarcRecord]
+  def decode(bytes: Array[Byte]): Seq[WarcRecord] =
+    decodeWithExtents(bytes).map(_._1)
+
+  /** decode plus each record's framed byte extent (offset, length) inside
+    * the buffer — what a CDX index row points a range request at. */
+  def decodeWithExtents(bytes: Array[Byte]): Seq[(WarcRecord, Int, Int)] = {
+    val recs = Seq.newBuilder[(WarcRecord, Int, Int)]
     var pos = 0
     while (pos < bytes.length) {
       pos = skipCrlf(bytes, pos)
+      val recStart = pos
       if (pos < bytes.length) {
         val (headers, bodyStart) = readHeaderBlock(bytes, pos)
         val rawLen = headers.getOrElse("content-length",
@@ -214,7 +220,8 @@ object WarcCodec {
             s"${bytes.length - bodyStart} bytes remaining")
         val payload = java.util.Arrays.copyOfRange(bytes, bodyStart,
           bodyStart + len.toInt)
-        recs += WarcRecord(
+        pos = bodyStart + len.toInt
+        recs += ((WarcRecord(
           warcType = headers.getOrElse("warc-type", ""),
           targetUri = headers.getOrElse("warc-target-uri", ""),
           date = headers.getOrElse("warc-date", ""),
@@ -222,12 +229,35 @@ object WarcCodec {
             .stripPrefix("<").stripSuffix(">"),
           contentType = headers.getOrElse("content-type", ""),
           payload = payload,
-          headers = headers.filterNot { case (k, _) => Canonical(k) })
-        pos = bodyStart + len.toInt
+          headers = headers.filterNot { case (k, _) => Canonical(k) }),
+          recStart, pos - recStart))
       }
     }
     recs.result()
   }
+
+  /** Sniffing extent decode: for a plain `.warc` buffer, each record's
+    * framed byte extent; for a `.warc.gz` buffer, the COMPRESSED extent of
+    * the gzip member holding the record (member-per-record convention) —
+    * either way, `bytes.slice(offset, offset+length)` hands back a
+    * standalone blob `decodeAuto` re-reads, which is exactly the contract
+    * an HTTP range request against the archive file needs. */
+  def decodeAutoWithExtents(bytes: Array[Byte],
+      maxInflated: Long = DefaultMaxInflated): Seq[(WarcRecord, Long, Long)] =
+    if (!isGzip(bytes))
+      decodeWithExtents(bytes).map { case (r, off, len) => (r, off.toLong, len.toLong) }
+    else {
+      val out = Seq.newBuilder[(WarcRecord, Long, Long)]
+      var pos = 0
+      while (pos < bytes.length) {
+        val buf = new ByteArrayOutputStream()
+        val next = inflateMember(bytes, pos, buf, maxInflated)
+        decode(buf.toByteArray).foreach(r =>
+          out += ((r, pos.toLong, (next - pos).toLong)))
+        pos = next
+      }
+      out.result()
+    }
 
   private val Canonical = Set("warc-type", "warc-target-uri", "warc-date",
     "warc-record-id", "content-type", "content-length")

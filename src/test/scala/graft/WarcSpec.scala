@@ -205,6 +205,50 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CdxIO: index rows carry range-request extents (plain and gz archives)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = (0 until 23).map(i =>
+        (s"http://h${i % 3}.example.com/p/$i", s"payload-$i".getBytes("UTF-8"),
+          "text/plain", 1700000000000L + i * 1500))
+      .toDF("url", "content", "contentType", "fetchTime")
+      .repartition(3)
+    for (gz <- Seq(false, true)) {
+      val dir = SparkTestBase.tmpDir(s"cdx-${if (gz) "gz" else "plain"}")
+      assert(graft.warc.WarcIO.write(pages, dir, gzip = gz) == 23)
+      val rows = graft.warc.CdxIO.index(spark, dir).collect()
+      assert(rows.length == 23)
+      assert(rows.map(_.url).toSet ==
+        (0 until 23).map(i => s"http://h${i % 3}.example.com/p/$i").toSet)
+      // urlkey is the engine's reversed-url key; timestamp is CDX-shaped
+      assert(rows.forall(_.urlkey.startsWith("com.example.h")))
+      assert(rows.forall(_.timestamp.matches("\\d{14}")))
+      // THE range contract: slicing [offset, offset+length) out of the
+      // archive file yields a standalone blob that decodes to exactly
+      // this record
+      val byFile = rows.groupBy(_.filename)
+      byFile.foreach { case (fname, rs) =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, fname))
+        rs.foreach { r =>
+          val blob = java.util.Arrays.copyOfRange(bytes,
+            r.offset.toInt, (r.offset + r.length).toInt)
+          val recs = graft.warc.WarcCodec.decodeAuto(blob)
+          assert(recs.length == 1 && recs.head.targetUri == r.url, r.url)
+          assert(java.security.MessageDigest.getInstance("MD5")
+            .digest(recs.head.payload).map("%02x".format(_)).mkString == r.digest)
+        }
+      }
+      // classic text form sorts by (urlkey, timestamp)
+      val txtDir = SparkTestBase.tmpDir(s"cdx-txt-$gz")
+      graft.warc.CdxIO.writeCdxText(graft.warc.CdxIO.index(spark, dir), txtDir)
+      val lines = spark.read.text(txtDir).select(col("value"))
+        .collect().map(_.getString(0))
+      assert(lines.length == 23 && lines.forall(_.split(" ").length == 8))
+    }
+  }
+
+
   test("crawl -> warcexport -> warcimport roundtrip preserves the fetched corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
