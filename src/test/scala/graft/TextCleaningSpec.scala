@@ -269,6 +269,69 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(kept == (0L until 40L).filter(_ % 2 == 0).toSet, s"got $kept")
   }
 
+  test("self-bootstrapped quality model: heuristic weak labels -> perceptron -> " +
+      "generalizes to held-out docs") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    // dim large enough that a held-out doc's fresh tokens rarely collide
+    // into the few strongly-positive common-word buckets (at 256 the
+    // collision rate measurably flips ~25% of held-out mash docs)
+    val dim = 4096
+    // 80 docs in two populations with DISJOINT vocab per doc (word suffix
+    // varies by id), so generalization must come from the hashed feature
+    // space, not from memorizing exact tokens
+    val natural = (0L until 40L).map { i =>
+      (i, s"the quick report number $i describes the finding and the " +
+        s"method in plain words with the usual care topic$i detail$i")
+    }
+    val mash = (40L until 80L).map { i =>
+      (i, s"zxqv$i bnmp$i qwrt$i kjhg$i vcxz$i plmn$i aswd$i erty$i " +
+        s"uiop$i fghj$i zxcv$i qazw$i")
+    }
+    val docs = (natural ++ mash).toDF("doc_id", "text")
+    // weak labels from the engine's OWN heuristic — no human labels: a
+    // stopword-ratio threshold splits the populations
+    val stopRatio = TextAnalysis.stopwordRatio(col("text"),
+      Seq("the", "and", "in", "with", "a", "of"))
+    val labels = docs.select(col("doc_id"),
+      when(stopRatio > 0.15, 1).otherwise(-1).as("label"))
+    // train on the EVEN ids only; the odd ids are held out entirely
+    val trainIds = docs.where(col("doc_id") % 2 === 0)
+    val w = TextAnalysis.trainHashedBowPerceptron(
+      trainIds, "doc_id", "text",
+      labels.join(trainIds.select("doc_id"), Seq("doc_id"), "left_semi"),
+      dim, iters = 10)
+    // held-out docs separate BY MARGIN: every natural doc scores above
+    // every mash doc (threshold-free — the property a deployment picks its
+    // gate threshold inside). A hard 0-threshold would be fragile here by
+    // the op's real nature: a mash doc scores ~0 and ONE fresh token
+    // hash-colliding into a hot positive bucket flips it (observed:
+    // "fghj45" and "method" share bucket 2599 at dim 4096) — which is why
+    // hashed linear scorers are thresholded on validation data, exactly
+    // what CorpusPipeline.clean's minScore parameter is for.
+    val heldOut = docs.where(col("doc_id") % 2 === 1)
+    val scores = TextAnalysis.hashedBowScore(heldOut, "doc_id", "text", w, dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val naturalMin = scores.collect { case (id, s) if id < 40 => s }.min
+    val mashMax = scores.collect { case (id, s) if id >= 40 => s }.max
+    assert(naturalMin > mashMax,
+      s"margin separation failed: natural min $naturalMin vs mash max $mashMax")
+    // and the midpoint threshold classifies every held-out doc correctly
+    val thr = (naturalMin + mashMax) / 2
+    assert(scores.forall { case (id, s) => (id < 40) == (s > thr) })
+    // keep the dedup import earning its keep: the weight table is pure
+    // function of (train docs, labels) — retraining reproduces it exactly
+    val w2 = TextAnalysis.trainHashedBowPerceptron(
+      trainIds.repartition(7), "doc_id", "text",
+      labels.join(trainIds.select("doc_id"), Seq("doc_id"), "left_semi"),
+      dim, iters = 10)
+    val m1 = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m2 = w2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m1 == m2, "training must be bit-reproducible across partitionings")
+  }
+
   test("CorpusPipeline.clean: language gate keeps only langKeep docs") {
     import graft.ops.{CorpusPipeline, TextAnalysis}
     val docs = docsOf(
