@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Extra (non-contract) benchmark/measurement entrypoint for optimization
+  * rounds — guide §1.4: isolate each query with the noop sink, min-of-k,
+  * and capture .explain("formatted") per query. The official harness
+  * (Bench.scala) is frozen; this main exists so plan captures and isolated
+  * A/Bs never touch it.
+  *
+  * Usage:
+  *   sbt "runMain graft.BenchExtra [queryName ...]"
+  * Env:
+  *   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS     local core count (default 32)
+  *   SPARK_GRAFT_QUERY_REPS  min-of-k reps (default 3)
+  *   SPARK_GRAFT_PLAN_DIR if set, write <q>.txt explain("formatted") there
+  *   SPARK_GRAFT_ALL      if set, run every declared query, not just headline
+  */
+object BenchExtra {
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-extra-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrationRequired", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle-extra")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private val headline = Seq(
+    "q_scan_filter_agg", "q_generate_topk", "q_update_merge", "q_opic_propagate",
+    "q_dim_join", "q_union_cogroup", "q_anti_join", "q_window_events",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_text_quality", "q_embed_cosine_topk", "q_embed_lsh_ann")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else if (sys.env.contains("SPARK_GRAFT_ALL")) Queries.all.keys.toSeq.sorted
+      else headline
+
+    val spark = session(cpus)
+
+    // same warmup discipline as the official bench: every query once over a
+    // tiny mirror so codegen/JIT are warm before any timed rep
+    val warmDir = s"/dev/shm/graft-warmup-${math.abs(sfDir.hashCode)}"
+    if (!new java.io.File(warmDir, "_DONE").exists()) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tname =>
+        spark.read.parquet(s"$sfDir/$tname.parquet").limit(200)
+          .coalesce(1).write.mode("overwrite").parquet(s"$warmDir/$tname.parquet")
+      }
+      new java.io.File(warmDir, "_DONE").createNewFile()
+    }
+    names.foreach { name =>
+      try run(Queries.all(name)(spark, warmDir))
+      catch { case e: Exception => System.err.println(s"[extra] warmup $name: $e") }
+      spark.catalog.clearCache()
+    }
+
+    planDir.foreach { pd =>
+      new java.io.File(pd).mkdirs()
+      names.foreach { name =>
+        try {
+          val df = Queries.all(name)(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(pd, s"$name.txt"), txt)
+        } catch { case e: Exception => System.err.println(s"[extra] plan $name: $e") }
+        spark.catalog.clearCache()
+      }
+    }
+
+    // interleaved min-of-k passes, same as the official harness
+    val impls = names.flatMap(n => Queries.all.get(n).map(n -> _))
+    val samples = scala.collection.mutable.LinkedHashMap(
+      impls.map { case (n, _) => n -> List.empty[Double] }: _*)
+    (1 to reps).foreach { _ =>
+      impls.foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(name)
+        val (_, secs) = time(run(fn(spark, sfDir)))
+        spark.sparkContext.setJobDescription(null)
+        spark.catalog.clearCache()
+        samples(name) = secs :: samples(name)
+      }
+    }
+    val stats = samples.toSeq.map { case (n, raw) =>
+      val ss = raw.sorted
+      (n, ss.head, ss(ss.size / 2))
+    }
+    stats.foreach { case (n, mn, md) =>
+      println(f"EXTRA $n%-28s min=$mn%8.3f  median=$md%8.3f  all=${samples(n).reverse.map(x => f"$x%.3f").mkString(",")}")
+    }
+    println(f"EXTRA total_min=${stats.map(_._2).sum}%.3f")
+    spark.stop()
+  }
+}

@@ -15,6 +15,26 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan with map-side parallelism guaranteed: a table that arrives as a
+    * single parquet split runs EVERY pre-exchange operator (explodes,
+    * per-row hashing, higher-order-function math, partial aggregation) in
+    * ONE task regardless of cluster size (guide §2.5, input skew /
+    * unsplittable input). For map-heavy queries, round-robin repartition to
+    * the session's default parallelism — scale-adaptively: when the scan
+    * already yields at least as many splits as cores (any real multi-file /
+    * 100 TB table), this is the identity and NO extra exchange is planned,
+    * so payload bytes never ride a gratuitous shuffle at scale. */
+  private def tp(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val file = new java.io.File(s"$dir/$name.parquet")
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits =
+      if (file.isFile) math.max(1L, (file.length() + splitBytes - 1) / splitBytes)
+      else Long.MaxValue // directory tables: let the scan's own splits rule
+    val cores = spark.sparkContext.defaultParallelism
+    if (splits < cores) df.repartition(cores) else df
+  }
+
 
   // ---------------------------------------------------------------- scans/aggs
 
@@ -86,19 +106,21 @@ object Queries {
 
   /** C5/C6: group-by-key, pick latest version, aggregate the rest — the
     * updatedb merge shape (latest page version + inlink aggregation). */
-  private def qUpdateMerge(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  private def qUpdateMerge(s: SparkSession, dir: String): DataFrame =
+    // latest-version pick folded into the aggregation via max_by over the
+    // (ts, event_id) version key — ONE exchange of map-side partial
+    // aggregates instead of a full-stream window exchange + per-partition
+    // sort + second aggregation (r06: 2 Exchange -> 1, sort gone; identical
+    // output because row_number over (ts desc, event_id desc) rn=1 is
+    // exactly argmax(struct(ts, event_id)), and event_id is unique)
     t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 3).as("sum_value"),
-        max(when(col("rn") === 1, col("event_type"))).as("last_type"),
-        round(max(when(col("rn") === 1, col("value"))), 3).as("last_value"))
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 3).as("last_value"))
       .orderBy(col("user_id"))
-  }
 
   /** C7: OPIC cash distribution — distribute a per-order budget equally over
     * its lines, sum inbound per target (map-side distribute + reduce sum).
@@ -110,6 +132,14 @@ object Queries {
   private def qOpicPropagate(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val orders = t(s, dir, "orders")
+    // r06 examined a §3.2 semi-join prefilter here (restrict the outdegree
+    // aggregate + orders dim to orderkeys reachable from partkey < 100):
+    // identical output but MEASURED SLOWER at bench scale (0.68-0.78 s vs
+    // 0.58-0.65 s min-of-3 — the extra distinct + two semi probes cost more
+    // than the smaller aggregate saves while the whole table is one scan
+    // task). At true scale the prefiltered aggregate shape wins; see
+    // OPTIMIZATION_r06.md. Kept: aggregate-then-join (sortless),
+    // partkey < 100 pushed into the main scan by Catalyst.
     val outdeg = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("outdeg"))
     li.join(outdeg, Seq("l_orderkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -209,7 +239,7 @@ object Queries {
     * query layer — the ops API emits unsorted pairs so pipeline callers
     * never pay a global sort. */
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+    graft.ops.Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
       threshold = 0.1)
       .orderBy(col("da"), col("db"))
 
@@ -234,7 +264,7 @@ object Queries {
     * sum(doc_id) pins the exact surviving set, not just its size. */
   private def qDedupApply(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
     graft.ops.Dedup.dropNearDuplicates(docs, pairs, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("survivors"), sum(col("doc_id")).as("id_sum"))
@@ -693,7 +723,7 @@ object Queries {
 
   /** Brute-force cosine top-k neighbors for probe vectors (the ANN baseline). */
   private def qEmbedCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = tp(s, dir, "embeddings")
     graft.ops.Similarity.cosineTopK(
       emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 5)
@@ -703,7 +733,7 @@ object Queries {
   /** LSH-bucketed ANN: sign bits of the first 4 dims bucket the space; probes
     * only scan their own bucket (the scale path vs brute force). */
   private def qEmbedLshAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = tp(s, dir, "embeddings")
     graft.ops.Similarity.lshNearest(
       emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
       "vec_id", "embedding", nBits = 4, k = 1)

@@ -33,15 +33,23 @@ object Dedup {
     * sf0.1). zip_with pads the shorter side with nulls, so the tail
     * positions (which lack a full n-gram) are nulled out explicitly and
     * dropped after the explode — exactly the i in [0, len-n] window the
-    * DuckDB oracle computes. */
+    * DuckDB oracle computes.
+    *
+    * Per-document dedup happens NARROWLY (`array_distinct` on each doc's
+    * gram array before the explode, O(grams) map-side work) — no
+    * (id, shingle) distinct exchange. This makes the stream's per-shingle
+    * row count equal the shingle's document frequency, which is what lets
+    * [[ngramJaccardPairs]] run its skew cap as a sum-shaped count aggregate
+    * BEFORE any posting list materializes. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    shinglesRaw(docs, idCol, textCol, n).distinct()
+    shinglesRaw(docs, idCol, textCol, n, perDocDistinct = true)
 
-  /** Shingle stream WITHOUT per-document dedup — one narrow explode, no
-    * shuffle. Consumers whose aggregation is dedup-insensitive (`min` for
-    * minhash) or dedups for free (`collect_set` posting lists) use this and
-    * save the full (id, shingle) distinct exchange. */
-  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Shingle stream — one narrow explode, no shuffle. With
+    * `perDocDistinct = false` duplicates within a document are kept (cheaper
+    * by one `array_distinct`; fine for consumers whose aggregation is
+    * dedup-insensitive, e.g. `min` for minhash). */
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      perDocDistinct: Boolean = false): DataFrame = {
     val ws = col("ws")
     // slice length must be exact: start + a huge length overflows int
     // inside Slice and yields an empty array
@@ -49,9 +57,10 @@ object Dedup {
       zip_with(acc, slice(ws, lit(k + 1), greatest(size(ws) - k, lit(0))), (xy, z) =>
         when(xy.isNull || z.isNull, lit(null)).otherwise(concat_ws(" ", xy, z)))
     }
+    val gramsOut = if (perDocDistinct) array_distinct(grams) else grams
     docs
       .select(col(idCol), split(lower(col(textCol)), "\\s+").as("ws"))
-      .select(col(idCol), explode(grams).as("shingle"))
+      .select(col(idCol), explode(gramsOut).as("shingle"))
       .where(col("shingle").isNotNull && col("shingle") =!= "")
   }
 
@@ -73,13 +82,37 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDf: Long = 500L): DataFrame = {
-    // collect_set over the RAW shingle stream: the per-document dedup that
-    // used to be a full (id, shingle) distinct exchange happens inside this
-    // one aggregation (partial sets merge map-side) — one shuffle, not two
-    val sh = shinglesRaw(docs, idCol, textCol, n)
-    val lists = sh.groupBy(col("shingle"))
-      .agg(collect_set(col(idCol)).as("ids"))
-      .where(size(col("ids")) <= maxDf)
+    // Per-document-distinct shingle stream (array_distinct inside the
+    // generation — narrow, no exchange), so the stream's per-shingle row
+    // count IS the document frequency. That lets the skew cap run as a
+    // sum-shaped count aggregate with map-side partials — bounded memory at
+    // ANY skew — and only then do posting lists materialize, every one of
+    // them <= maxDf entries. The previous shape capped AFTER a collect_set
+    // materialized the hot-key list: one ubiquitous natural-language shingle
+    // ("of the and", df ~= corpus size) built a multi-gigabyte aggregation
+    // buffer in a single executor before the filter ran (the round-5 weak
+    // item). Output is provably identical: the same shingles are dropped,
+    // just before rather than after materialization.
+    val sh = shinglesRaw(docs, idCol, textCol, n, perDocDistinct = true)
+    // hot = shingles with df > maxDf: tiny at any scale (ubiquitous
+    // boilerplate only), dropped from the stream via an anti join BEFORE any
+    // list materializes. The count aggregate ships map-side partials only
+    // (never a row per occurrence), so no skew reaches the exchange. No
+    // broadcast hint: AQE broadcasts the (tiny) hot side at bench scale; a
+    // planner with real stats may pick a shuffled join when the hot set is
+    // genuinely large — still exact, never OOM.
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("shingle"))
+    // The narrow shingle stream is computed twice (once for `hot`, once
+    // here) instead of persisting it: the stream is corpus-sized, while the
+    // capped posting lists below are the small artifact worth keeping —
+    // they fan out to the pair stream and the size aggregate. (A/B at
+    // sf0.1, min-of-3: persist-the-stream 2.23 s, persist-the-lists
+    // 1.89-1.99 s; at 100 TB the second narrow scan is CPU over a pruned
+    // (id, text) projection, not a shuffle.)
+    val lists = sh.join(hot, Seq("shingle"), "left_anti")
+      .groupBy(col("shingle"))
+      .agg(collect_list(col(idCol)).as("ids")) // every buffer <= maxDf now
       .select(col("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = lists.select(explode(col("ids")).as(idCol))
@@ -87,8 +120,7 @@ object Dedup {
     // singleton posting lists still count toward document sizes (the
     // Jaccard denominator is over the capped universe) but yield no pairs —
     // prune them from the pair explode only: at web scale MOST shingles are
-    // unique, so this halves the explode input for free (measured at sf0.1,
-    // min-of-3 steady-state: 1.64 -> 1.04 s for the full query)
+    // unique, so this halves the explode input for free
     val inter = lists
       .where(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("da"), col("ids"))
@@ -148,12 +180,27 @@ object Dedup {
       val sigCols = (0 until rowsPerBand).map(r => col(s"mh${bi * rowsPerBand + r}"))
       concat_ws("_", sigCols: _*)
     }
-    val all = mh.select(col(idCol),
+    // the (id, band, sig) stream is one unique row per (id, band) by
+    // construction, so a per-(band, sig) count aggregate IS the bucket size
+    // — the skew cap runs sum-shaped (map-side partials, bounded at any
+    // skew) BEFORE any member list materializes; a degenerate bucket (b
+    // byte-identical docs) never builds its O(b) aggregation buffer (the
+    // same cap-ordering flip as ngramJaccardPairs; output identical: the
+    // same buckets are dropped, just earlier)
+    def bandRows = mh.select(col(idCol),
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-    val lists = all.groupBy(col("band"), col("sig"))
+    // hot buckets (> maxBucket members) are few at any scale; AQE
+    // broadcasts the anti-join side at bench scale (no hint — see
+    // ngramJaccardPairs). bandRows recomputes from the PERSISTED signature
+    // table, so the second pass is a cache read plus one posexplode.
+    val hot = bandRows.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(col("band"), col("sig"))
+    val lists = bandRows.join(hot, Seq("band", "sig"), "left_anti")
+      .groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("ids"))
       // singleton buckets yield no pairs; >=2 prunes them before the explode
-      .where(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
+      .where(size(col("ids")) >= 2)
       .select(col("ids"))
     // no orderBy tail (see ngramJaccardPairs note)
     lists.select(explode(col("ids")).as("da"), col("ids"))
@@ -198,13 +245,22 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val bandVals = (0 until nBands).map(b =>
       shiftrightunsigned(col(phashCol), b * bandBits).bitwiseAND(lit(mask)))
-    val lists = images
+    // one row per (id, band) by construction -> the per-(band, bv) count IS
+    // the bucket size: the skew cap runs sum-shaped BEFORE any member list
+    // materializes (same cap-ordering flip as ngramJaccardPairs — a
+    // degenerate bucket of b flat-color thumbnails never builds its O(b)
+    // aggregation buffer; output identical, the same buckets drop earlier)
+    def bandRows = images
       .select(col(idCol), col(phashCol),
         posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    val hot = bandRows.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(col("band"), col("bv"))
+    val lists = bandRows.join(hot, Seq("band", "bv"), "left_anti")
       .groupBy(col("band"), col("bv"))
       .agg(collect_list(struct(col(idCol).as("id"), col(phashCol).as("ph"))).as("xs"))
       // singleton buckets yield no pairs; >=2 prunes them before the explode
-      .where(size(col("xs")) <= maxBucket && size(col("xs")) >= 2)
+      .where(size(col("xs")) >= 2)
       .select(col("xs"))
     // pair stream within each bucket (a<b), one exact confirm per pair;
     // distinct collapses the same pair surfacing from several bands.

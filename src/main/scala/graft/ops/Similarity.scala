@@ -17,13 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sum of elementwise products (the shared kernel of cosine): higher-
+    * order functions are CodegenFallback, so every evaluation is
+    * interpreted per element — candidate-bounded joins precompute each
+    * side's squared norm ONCE per row instead of once per PAIR (3x fewer
+    * HOF evaluations in the join; identical doubles, since the per-row
+    * expression tree is exactly the one `cosine` evaluated per pair). */
+  def dotSelf(a: Column): Column =
+    aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / sqrt(na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotCols(a, b) / sqrt(dotSelf(a) * dotSelf(b))
+
+  /** Cosine from a precomputed product of squared norms (see dotSelf). */
+  private def cosinePre(a: Column, b: Column, normSqProduct: Column): Column =
+    dotCols(a, b) / sqrt(normSqProduct)
 
   /** Brute-force cosine top-k: probes cross-join the corpus. Exact; O(P*N).
     * Ranking quantizes similarity to `decimals` so order is stable across
@@ -31,9 +43,12 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       embCol: String, k: Int, decimals: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .withColumn("ne", dotSelf(col("e")))
     val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .withColumn("nq", dotSelf(col("qe")))
     val joined = p.crossJoin(c)
-      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+      .withColumn("sim",
+        round(cosinePre(col("qe"), col("e"), col("nq") * col("ne")), decimals))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
     // no orderBy tail: output is Q*k rows but pipeline callers must not
     // pay a global sort — presentation layers (Queries.q_*) add their own
@@ -122,28 +137,43 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       dim: Int, threshold: Double, nBits: Int = 8, nTables: Int = 4,
       decimals: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    // persisted: the (vid, tbl, bucket) stream is consumed twice below (the
+    // hot-bucket count and the list build), and recomputing it would redo
+    // the nBits*nTables projection dot products per vector
     val b0 = rhpBuckets(corpus, idCol, embCol, "vid", dim, nBits, nTables)
-    // posting-list expansion: bucket members aggregate to one list, the
-    // maxBucket cap is a list-size filter on the same aggregate, and pairs
+      .select(col("tbl"), col("bucket"), col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // posting-list expansion: bucket members aggregate to one list and pairs
     // explode narrowly within each list — no bucket self-join (same shape
-    // as Dedup.minhashLshCandidates; measured ~1.7x there)
-    val lists = b0.groupBy(col("tbl"), col("bucket"))
+    // as Dedup.minhashLshCandidates; measured ~1.7x there). The maxBucket
+    // skew cap runs as a sum-shaped count aggregate BEFORE any member list
+    // materializes (one row per (vid, tbl) by construction, so the count IS
+    // the bucket size) — the same cap-ordering flip as ngramJaccardPairs:
+    // a degenerate bucket never builds its O(b) aggregation buffer, and the
+    // output is identical because the same buckets drop, just earlier.
+    val hot = b0.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(col("tbl"), col("bucket"))
+    val lists = b0.join(hot, Seq("tbl", "bucket"), "left_anti")
+      .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(col("vid")).as("ids"))
       // singleton buckets yield no pairs; >=2 prunes them before the explode
-      .where(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
+      .where(size(col("ids")) >= 2)
       .select(col("ids"))
     val cand = lists
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val vecs = corpus.select(col(idCol), col(embCol).cast("array<double>"))
+    val vecs = corpus.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .withColumn("n", dotSelf(col("e")))
     // no orderBy tail: pipeline callers must not pay a global sort on pair
     // output (the oracle wrappers in Queries add their own)
     cand
-      .join(vecs.toDF("a", "ea"), Seq("a"))
-      .join(vecs.toDF("b", "eb"), Seq("b"))
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), decimals))
+      .join(vecs.toDF("a", "ea", "na"), Seq("a"))
+      .join(vecs.toDF("b", "eb", "nb"), Seq("b"))
+      .withColumn("sim", round(
+        cosinePre(col("ea"), col("eb"), col("na") * col("nb")), decimals))
       .where(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
@@ -199,15 +229,81 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast cross join + rank (rounded sim
-    * + cid tie-break so the argmin is engine-stable). */
+  /** Nearest-centroid assignment — the JIT'd mapPartitions kernel (the
+    * pqEncode discipline: a dense n*k numeric kernel is the measured-wrong
+    * place for Catalyst, because higher-order functions are CodegenFallback
+    * and a broadcast cross join materializes n*k candidate rows through an
+    * interpreted cosine each; r06 bench rows at 200k vectors x 64
+    * centroids: ivfpq_build 37.6 s Catalyst-assign -> 1.2-2.3 s with this
+    * kernel, ivf_train 3.9 -> 1.7 s, identical assignments). Centroid
+    * tables are tiny by contract (driver-held, like the k-means loop
+    * already holds them), so they ride the closure.
+    *
+    * Bit-identical to the Catalyst shape it replaces — rank by
+    * round(cosine, decimals) desc with cid tie-break, where cosine =
+    * dot / sqrt(nv * ncen), every sum left-to-right from 0.0 (exactly
+    * aggregate(zip_with(...)) evaluation order) and rounding is Catalyst's
+    * BigDecimal HALF_UP, applied only to candidates within 2*10^-decimals
+    * of the raw maximum (every other candidate provably rounds strictly
+    * lower). NaN similarities (zero-norm inputs) follow Spark's ordering:
+    * NaN ranks greatest, ties by cid. */
   private def assignToCentroids(e: DataFrame, centroids: DataFrame,
       decimals: Int = 6): DataFrame = {
-    val w = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("cid"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("e"), col("centroid")), decimals))
-      .withColumn("crn", row_number().over(w))
-      .where(col("crn") === 1)
+    import org.apache.spark.sql.types.IntegerType
+    val cents: Array[(Int, Array[Double], Double)] = centroids
+      .select(col("cid").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val a = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        (r.getInt(0), a, s)
+      }
+      .sortBy(_._1)
+    val eps = 2.0 * math.pow(10, -decimals)
+    val outSchema = e.schema.add("cid", IntegerType, nullable = false)
+    val eIdx = e.schema.fieldIndex("e")
+    e.mapPartitions { it =>
+      it.map { r =>
+        val ea = r.getSeq[Double](eIdx).toArray
+        var nv = 0.0
+        var i = 0
+        while (i < ea.length) { nv += ea(i) * ea(i); i += 1 }
+        val sims = new Array[Double](cents.length)
+        var best = Double.NegativeInfinity
+        var anyNaN = false
+        var nanMinCid = Int.MaxValue
+        var k = 0
+        while (k < cents.length) {
+          val (cid, ca, ncen) = cents(k)
+          var dot = 0.0
+          i = 0
+          while (i < ca.length) { dot += ea(i) * ca(i); i += 1 }
+          val csim = dot / math.sqrt(nv * ncen)
+          sims(k) = csim
+          if (csim.isNaN) { anyNaN = true; if (cid < nanMinCid) nanMinCid = cid }
+          else if (csim > best) best = csim
+          k += 1
+        }
+        val bestCid =
+          if (anyNaN) nanMinCid // NaN is greatest in Spark's ordering
+          else {
+            var bc = Int.MaxValue
+            var br = Double.NegativeInfinity
+            k = 0
+            while (k < cents.length) {
+              if (sims(k) >= best - eps) {
+                val rs = java.math.BigDecimal.valueOf(sims(k))
+                  .setScale(decimals, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (rs > br || (rs == br && cents(k)._1 < bc)) { br = rs; bc = cents(k)._1 }
+              }
+              k += 1
+            }
+            bc
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestCid)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .select(col("vid"), col("e"), col("cid"))
   }
 
@@ -223,17 +319,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vid"),
       col(embCol).cast("array<double>").as("e"))
     val lists = assignToCentroids(c, centroids)
-      .select(col("cid"), col("vid").as("cand"), col("e"))
+      .select(col("cid"), col("vid").as("cand"), col("e"), dotSelf(col("e")).as("ne"))
     val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .withColumn("nq", dotSelf(col("qe")))
     val wP = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probeLists = p.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("qe"), col("centroid")), 6))
+    val probeLists = p.crossJoin(broadcast(centroids.withColumn("ncen", dotSelf(col("centroid")))))
+      .withColumn("csim", round(
+        cosinePre(col("qe"), col("centroid"), col("nq") * col("ncen")), 6))
       .withColumn("crn", row_number().over(wP))
       .where(col("crn") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid"))
+      .select(col("qid"), col("qe"), col("nq"), col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
     probeLists.join(lists, Seq("cid"))
-      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+      .withColumn("sim", round(
+        cosinePre(col("qe"), col("e"), col("nq") * col("ne")), decimals))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("cand").as("neighbor"), col("sim"), col("rn"))
     // no orderBy tail (see cosineTopK note)
@@ -246,9 +345,12 @@ object Similarity {
       decimals: Int = 3): DataFrame = {
     val cand = rhpCandidates(corpus, probes, idCol, embCol, dim, nBits, nTables)
     val cVec = corpus.select(col(idCol).as("cid"), col(embCol).cast("array<double>").as("e"))
+      .withColumn("ne", dotSelf(col("e")))
     val pVec = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .withColumn("nq", dotSelf(col("qe")))
     val joined = cand.join(cVec, Seq("cid")).join(pVec, Seq("qid"))
-      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+      .withColumn("sim", round(
+        cosinePre(col("qe"), col("e"), col("nq") * col("ne")), decimals))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("cid").as("neighbor"), col("sim"), col("rn"))
@@ -262,10 +364,13 @@ object Similarity {
       embCol: String, nBits: Int = 4, k: Int = 1, decimals: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol), col(embCol).cast("array<double>").as("e"))
       .withColumn("bucket", signBucket(col("e"), nBits))
+      .withColumn("ne", dotSelf(col("e")))
     val p = probes.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
       .withColumn("bucket", signBucket(col("qe"), nBits))
+      .withColumn("nq", dotSelf(col("qe")))
     val joined = p.join(c, Seq("bucket"))
-      .withColumn("sim", round(cosine(col("qe"), col("e")), decimals))
+      .withColumn("sim", round(
+        cosinePre(col("qe"), col("e"), col("nq") * col("ne")), decimals))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("bucket"), col(idCol).as("neighbor"), col("sim"), col("rn"))
@@ -319,27 +424,100 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = e.orderBy(graft.ops.Dedup.hash40(col("vid").cast("string")), col("vid"))
       .limit(ksub).select(col("e")).collect()
-    var cb = cbDf(for ((r, i) <- seeds.zipWithIndex.toSeq; s <- 0 until m)
-      yield Row(s, i + 1, r.getSeq[Double](0).slice(s * dsub, (s + 1) * dsub)))
+    var cbRows: Seq[(Int, Int, Array[Double])] =
+      for ((r, i) <- seeds.zipWithIndex.toSeq; s <- 0 until m)
+        yield (s, i + 1, r.getSeq[Double](0).slice(s * dsub, (s + 1) * dsub).toArray)
     for (_ <- 1 to iters) {
-      // argmin as min(struct(d, cid, sv)) — struct ordering IS (rounded
-      // distance, cid tie-break), and the aggregation partial-aggregates
-      // map-side where a row_number window would shuffle every
-      // (vector, subspace, centroid) candidate row
-      val next = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
-        .groupBy(col("vid"), col("sub"))
-        .agg(min(struct(col("d"), col("cid"), col("sv"))).as("b"))
-        .select(col("sub"), col("b.cid").as("cid"), posexplode(col("b.sv")).as(Seq("i", "v")))
+      // Assignment via the JIT'd subspace-argmin kernel (pqAssignSv — the
+      // pqEncode kernel over already-sliced subvectors): the Catalyst shape
+      // this replaces joined every (vector, subspace) row against ksub
+      // broadcast centroids — n*m*ksub candidate rows (51.2M per iteration
+      // at the bench's 25k-vector sample) each paying an INTERPRETED
+      // higher-order-function l2sq; the kernel is the same argmin with the
+      // same bounded HALF_UP rounding, bit-identical per pqEncode's
+      // contract, with zero candidate-row materialization. The mean update
+      // stays Catalyst (narrow posexplode + avg).
+      val bySub = codebookArraysLocal(cbRows, m)
+      val next = pqAssignSv(subs, bySub)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "v")))
         .groupBy(col("sub"), col("cid"), col("i")).agg(avg(col("v")).as("mv"))
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
           s => s.getField("mv")).as("centroid"))
         .collect()
-      cb = cbDf(next.toSeq.map(r => Row(r.getInt(0), r.getInt(1), r.getSeq[Double](2))))
+      cbRows = next.toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     }
     subs.unpersist()
-    cb
+    cbDf(cbRows.map { case (s, cid, c) => Row(s, cid, c.toSeq) })
+  }
+
+  /** Codebooks as per-subspace (cids, centroids) arrays for closure-side
+    * kernels; requires full coverage of subspaces 0..m-1. */
+  private def codebookArraysLocal(rows: Seq[(Int, Int, Array[Double])],
+      m: Int): Array[(Array[Int], Array[Array[Double]])] = {
+    val grouped = rows.groupBy(_._1)
+    require(grouped.keySet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}, got ${grouped.keySet}")
+    (0 until m).map { s =>
+      val rs = grouped(s).sortBy(_._2)
+      (rs.map(_._2).toArray, rs.map(_._3).toArray)
+    }.toArray
+  }
+
+  /** Argmin centroid id for one subvector under pqEncode's bit-identity
+    * contract: raw L2 left-to-right, HALF_UP rounding applied only to
+    * candidates within 2e-6 of the raw minimum, cid tie-break. */
+  private def argminCid(sv: Array[Double], cids: Array[Int],
+      cents: Array[Array[Double]]): Int = {
+    val ds = new Array[Double](cents.length)
+    var dmin = Double.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val t = sv(i) - c(i); d += t * t; i += 1 }
+      ds(k) = d
+      if (d < dmin) dmin = d
+      k += 1
+    }
+    var bestCid = Int.MaxValue
+    var bestR = Double.MaxValue
+    k = 0
+    while (k < cents.length) {
+      if (ds(k) <= dmin + 2e-6) {
+        val rd = java.math.BigDecimal.valueOf(ds(k))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rd < bestR || (rd == bestR && cids(k) < bestCid)) {
+          bestR = rd; bestCid = cids(k)
+        }
+      }
+      k += 1
+    }
+    bestCid
+  }
+
+  /** JIT'd per-subspace assignment over an exploded (vid, sub, sv) frame:
+    * emits (sub, cid, sv) — the PQ training inner loop's input to the mean
+    * update. */
+  private def pqAssignSv(subs: DataFrame,
+      bySub: Array[(Array[Int], Array[Array[Double]])]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = subs.schema
+    val subIdx = schema.fieldIndex("sub")
+    val svIdx = schema.fieldIndex("sv")
+    val outSchema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      schema(svIdx)))
+    subs.mapPartitions { it =>
+      it.map { r =>
+        val s = r.getInt(subIdx)
+        val sv = r.getSeq[Double](svIdx).toArray
+        val (cids, cents) = bySub(s)
+        org.apache.spark.sql.Row(s, argminCid(sv, cids, cents), r.get(svIdx))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** PQ encoding: each vector compresses to m small codes — the nearest
