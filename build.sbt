@@ -29,7 +29,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "72g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
   // lets `sbt runMain` drive mains that expect spark-submit to set the
   // master (e.g. graft.crawl.CrawlMain): SPARK_MASTER=local[8] sbt ...
   s"-Dspark.master=${sys.env.getOrElse("SPARK_MASTER", "local[32]")}",
@@ -39,7 +39,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // seconds of kernel page-zeroing (measured: first 1.2M-page fetch 102s vs
 // 13s warm), which would otherwise be misattributed to the engine. Tests
 // keep the lazy heap (a pretouched 72g per test fork is pure startup cost).
+// 31g, not 72g (r6): a >= 32 GiB heap disables compressed oops — every JVM
+// reference doubles to 8 bytes, exactly the pointer-heavy profile of the
+// hash/object aggregations in the headline queries. Measured at identical
+// code and harness shape: q_dedup_ngram_jaccard 2.25 s at 72g pre-touched
+// vs 1.28 s at a compressed-oops heap; the full bench (headline + 1.2M-page
+// crawl + seen + training ops) runs clean at 31g with crawl fetch/update
+// FASTER than at 72g (12.20/6.93 s vs 12.72/8.26 s). 16g measured equal to
+// 31g on the headline; 31g keeps crawl-phase headroom. Override via
+// SPARK_DRIVER_MEM as before. Not a local[32]-only constant: <= 31 GiB
+// executor JVMs with compressed oops are the standard deployment shape at
+// any cluster size (several executors per host, never one giant heap).
 run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "72g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
   "-XX:+AlwaysPreTouch",
 )

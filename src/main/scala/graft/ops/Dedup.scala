@@ -115,8 +115,13 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids")) // every buffer <= maxDf now
       .select(col("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the size table joins the pair stream TWICE below (sa and
+    // sb), and Catalyst inlines the subtree per branch — without the
+    // persist the posting-list explode + count runs twice (A/B at sf0.1:
+    // ~1.9 s -> ~1.5 s for the full query). Narrow (id, count) rows only.
     val sizes = lists.select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // singleton posting lists still count toward document sizes (the
     // Jaccard denominator is over the capped universe) but yield no pairs —
     // prune them from the pair explode only: at web scale MOST shingles are

@@ -92,6 +92,122 @@ class OpsSpec extends AnyFunSuite {
     assert(globalSorts(Queries.all("q_embed_cosine_topk")(spark, "/root/testdata/sf0.001")) == 1)
   }
 
+  test("ngram Jaccard skew cap: pre-collect cap == post-collect cap on a hot-shingle corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every doc shares one ubiquitous sentence, so its trigrams have
+    // df = 40 >> maxDf = 8 — under the r5 plan each hot trigram built a
+    // 40-entry aggregation buffer before the cap filter ran (a multi-GB
+    // buffer at web scale); the r6 plan must drop them BEFORE any list
+    // materializes, with output identical to the post-collect cap
+    val docs = (0 until 40).map { i =>
+      val pair = i / 2 // docs 2k and 2k+1 share a low-df tail (df = 2)
+      (i.toLong, s"the quick brown fox jumps over tail$pair side$pair end$pair fin$i")
+    }.toDF("doc_id", "text")
+    val maxDf = 8L
+    val q = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.01, maxDf = maxDf)
+    val got = q.orderBy(col("da"), col("db")).collect().toSeq
+    // reference: the round-5 shape — collect posting lists FIRST, cap as a
+    // size filter afterwards (fine at test scale; the OOM was scale-only)
+    val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text", 3)
+    val lists = sh.groupBy(col("shingle")).agg(collect_set(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= maxDf).select(col("ids"))
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = lists.where(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val ref = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 4))
+      .where(col("jaccard") >= 0.01)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db")).collect().toSeq
+    assert(got.nonEmpty, "planted near-dups must survive the cap")
+    assert(got == ref)
+    // plan shape: the posting-list aggregate (collect_list) must sit ABOVE
+    // a LeftAnti join (the hot-key drop) — cap strictly before collect. The
+    // lists are persisted inside the op, so the aggregate lives in the
+    // cached subtree's physical plan.
+    val cachedStrs = q.queryExecution.optimizedPlan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        im.cachedPlan.toString
+    }
+    val withCollect = cachedStrs.filter(_.contains("collect_list"))
+    assert(withCollect.nonEmpty, "capped posting lists must be the cached artifact")
+    withCollect.foreach { s =>
+      val agg = s.indexOf("collect_list")
+      val anti = s.indexOf("LeftAnti")
+      assert(anti > agg && agg >= 0,
+        "the collect_list aggregate must be fed by the hot-key anti join below it")
+    }
+  }
+
+  test("minhash LSH skew cap: degenerate bucket dropped pre-collect, output unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 byte-identical docs collapse to ONE bucket per band (size 30 >
+    // maxBucket = 8) — dropped by the cap in both shapes; the two distinct
+    // near-dup docs must still surface as the only candidate pair
+    // docs 100/101 are byte-identical: every band matches, so the candidate
+    // pair is guaranteed regardless of which minhash values the text draws
+    val docs = ((0 until 30).map(i => (i.toLong, "same same same same same")) ++
+      Seq((100L, "alpha beta gamma delta epsilon"),
+        (101L, "alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      maxBucket = 8).orderBy(col("da"), col("db")).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == Seq((100L, 101L)))
+  }
+
+  test("centroid assignment kernel: bit-identical to the Catalyst rank shape (ties, NaN)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dim = 16
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(j => math.sin(seed * 31 + j * 7.0))
+    val corpus = (1 to 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    // centroids include an exact duplicate (cids 3 and 4) so rounded sims
+    // tie and the cid tie-break decides
+    val cents = Seq((1, vec(2)), (2, vec(10)), (3, vec(20)), (4, vec(20)))
+      .toDF("cid", "centroid")
+    // kernel path (via the public residuals wrapper: list == assignment)
+    val got = graft.ops.Similarity.residuals(corpus, cents, "vec_id", "embedding")
+      .select(col("vid"), col("list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Catalyst reference: the r5 crossJoin + round(cosine, 6) + rank shape
+    def dotAgg(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("cid"))
+    val ref = corpus.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("e"))
+      .crossJoin(cents.select(col("cid"), col("centroid").cast("array<double>").as("cen")))
+      .withColumn("csim", round(
+        dotAgg(col("e"), col("cen")) /
+          sqrt(dotAgg(col("e"), col("e")) * dotAgg(col("cen"), col("cen"))), 6))
+      .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      .select(col("vid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == ref)
+    // duplicate-centroid ties resolve to the smaller cid, never 4
+    assert(!got.values.exists(_ == 4))
+    // zero-norm vectors: the Catalyst shape threw under ANSI division; the
+    // kernel assigns them deterministically (NaN ranks greatest, min cid) —
+    // strictly more permissive, and no caller feeds zero vectors (the
+    // k-means path l2-normalizes and the bench synthesizes id+1)
+    val zeroAssign = graft.ops.Similarity.residuals(
+      Seq((990L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding"),
+      cents, "vec_id", "embedding")
+      .select(col("vid"), col("list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(zeroAssign(990L) == 1)
+  }
+
   test("bpeTrain learns the classic merge sequence (counts, ties, application)") {
     import spark.implicits._
     import graft.ops.TextAnalysis
