@@ -52,11 +52,76 @@ object BenchExtra {
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_text_quality", "q_embed_cosine_topk", "q_embed_lsh_ann")
 
+  /** Dedup family at synthetic scale (VERDICT r5 next-round ask #5): the
+    * headline oracle proves ngram/minhash correct at 500 docs; this measures
+    * the SCALE claim — millions of documents with a planted ubiquitous
+    * shingle ("the of and", df = corpus size), the exact natural-language
+    * skew that the round-6 cap-ordering flip exists for. Texts are a
+    * deterministic function of the row id: a hot 3-token prefix (every doc),
+    * one 3-token phrase shared by ~10 docs (pool of rows/10 phrases — the
+    * near-dup signal), and 8 unique filler words (df 1, singleton-pruned).
+    * Every posting list the plan materializes is bounded by maxDf/maxBucket
+    * regardless of the planted df-2M key; the old post-collect shape would
+    * build one corpus-sized aggregation buffer here first.
+    */
+  private def dedupAtScale(spark: SparkSession, rows: Long, cpus: Int,
+      reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = s"/dev/shm/graft-dedup-scale-$rows"
+    if (!new java.io.File(dir, "_DONE").exists()) {
+      val phrasePool = math.max(1L, rows / 10)
+      spark.range(0, rows, 1, cpus * 2)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            lit("the of and"),
+            concat(lit("p"), pmod(col("id") * 2654435761L, lit(phrasePool)),
+              lit(" q"), pmod(col("id") * 2654435761L, lit(phrasePool)),
+              lit(" r"), pmod(col("id") * 2654435761L, lit(phrasePool))),
+            concat_ws(" ", (0 until 8).map(j =>
+              concat(lit(s"u${j}_"), pmod(col("id") * (40503L * (j + 7)) + j,
+                lit(1000000007L)))): _*)).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+      new java.io.File(dir, "_DONE").createNewFile()
+    }
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "ngram_jaccard_pairs" -> (() =>
+        graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)),
+      "minhash_lsh_candidates" -> (() =>
+        graft.ops.Dedup.minhashLshCandidates(docs, "doc_id", "text")))
+    // one untimed warmup pass, then interleaved min-of-k like the harness
+    ops.foreach { case (n, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup $n")
+      run(fn()); spark.catalog.clearCache()
+    }
+    val samples = scala.collection.mutable.LinkedHashMap(
+      ops.map { case (n, _) => n -> List.empty[Double] }: _*)
+    (1 to reps).foreach { _ =>
+      ops.foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(name)
+        val (_, secs) = time(run(fn()))
+        spark.sparkContext.setJobDescription(null)
+        spark.catalog.clearCache()
+        samples(name) = secs :: samples(name)
+      }
+    }
+    samples.foreach { case (n, raw) =>
+      val ss = raw.sorted
+      println(f"DEDUP_SCALE $n%-24s rows=$rows min=${ss.head}%8.3f median=${ss(ss.size / 2)}%8.3f kdocs_per_sec=${rows / ss.head / 1e3}%9.1f all=${raw.reverse.map(x => f"$x%.3f").mkString(",")}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    sys.env.get("SPARK_GRAFT_DEDUP_SCALE").foreach { r =>
+      val spark = session(cpus)
+      dedupAtScale(spark, r.toLong, cpus, reps)
+      spark.stop()
+      return
+    }
     val names: Seq[String] =
       if (args.nonEmpty) args.toSeq
       else if (sys.env.contains("SPARK_GRAFT_ALL")) Queries.all.keys.toSeq.sorted

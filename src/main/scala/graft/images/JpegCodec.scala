@@ -371,8 +371,20 @@ object JpegCodec {
     var planeH: Int = 0
   }
 
-  /** Decode a baseline JPEG to raw RGB (3 bytes/pixel). */
-  def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+  /** Decode a baseline JPEG to raw RGB (3 bytes/pixel). Malformed input
+    * fails with the documented "corrupt JPEG" IllegalArgumentException —
+    * never a raw buffer underflow: u8/u16 bounds-check the header walk,
+    * and any residual out-of-bounds read from a structurally invalid
+    * stream (e.g. a Huffman value table shorter than its code count) is
+    * rethrown as the same contract exception here. */
+  def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) =
+    try decodeRgbImpl(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        fail("truncated or structurally invalid stream")
+    }
+
+  private def decodeRgbImpl(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     if (!isJpeg(bytes)) fail("missing SOI")
     var pos = 2
     val qtabs = new Array[Array[Int]](4)
@@ -382,8 +394,14 @@ object JpegCodec {
     var w = 0
     var h = 0
     var restartInterval = 0
-    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
-    def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
+    def u8(): Int = {
+      if (pos >= bytes.length) fail("truncated segment")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = {
+      if (pos + 1 >= bytes.length) fail("truncated segment")
+      val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v
+    }
     var done = false
     var outPixels: Array[Byte] = null
     while (!done) {

@@ -196,7 +196,8 @@ object LinkDb {
     * exact anti-join. */
   def frontier(spark: SparkSession, edges: Dataset[LinkEdge],
       existing: Dataset[WebPage], conf: CrawlConfig, curTime: Long,
-      round: Int = 0, seen: Option[graft.seen.SeenFilter] = None): Dataset[WebPage] = {
+      round: Int = 0, seen: Option[graft.seen.SeenFilter] = None,
+      broadcastMaxKeys: Long = 5000000L): Dataset[WebPage] = {
     import spark.implicits._
     val schedule = FetchSchedule(conf)
     val opic = ScoringFilter(conf)
@@ -221,17 +222,28 @@ object LinkDb {
       case Some(bank) =>
         val probe = graft.functions.SeenMightContain.mightContain(
           spark, col("key"), bank)
-        // the maybe-set is delta-sized (bloom fpp x candidates + true
-        // hits): broadcast ITS keys into a left-semi scan of the store so
-        // the store never shuffles (the mergeSeenNewPagesOverStore shape),
-        // then confirm with a delta x delta anti-join
+        // the maybe-set (bloom fpp x candidates + true hits) broadcasts
+        // into a left-semi scan of the store so the store never shuffles
+        // (the mergeSeenNewPagesOverStore shape), then confirms with a
+        // delta x delta anti-join. GATED on the maybe-set's actual count
+        // (one extra pass over the candidate aggregate — the same guard
+        // DbUpdateJob.mergeSeenNewPages applies): in a dense web graph,
+        // true hits (links to already-known pages) can DOMINATE a round's
+        // candidates, so "delta-sized" is not a given — above the
+        // threshold both broadcasts would exceed broadcast capacity /
+        // OOM the driver, where the plain shuffled anti-join below
+        // degrades gracefully at any size.
         val positives = candidates.filter(probe)
-        val prunedStoreKeys = existingKeys.join(
-          broadcast(positives.select(col("key"))), Seq("key"), "left_semi")
-        // the confirm is delta x (≤ delta): broadcast it too, so neither
-        // join of the seen path ever plans a store-keyed exchange
-        candidates.filter(!probe).unionByName(
-          positives.join(broadcast(prunedStoreKeys), Seq("key"), "left_anti"))
+        if (positives.count() <= broadcastMaxKeys) {
+          val prunedStoreKeys = existingKeys.join(
+            broadcast(positives.select(col("key"))), Seq("key"), "left_semi")
+          // the confirm is delta x (≤ delta): broadcast it too, so neither
+          // join of the seen path ever plans a store-keyed exchange
+          candidates.filter(!probe).unionByName(
+            positives.join(broadcast(prunedStoreKeys), Seq("key"), "left_anti"))
+        } else {
+          candidates.join(existingKeys, Seq("key"), "left_anti")
+        }
       case None =>
         candidates.join(existingKeys, Seq("key"), "left_anti")
     }

@@ -91,7 +91,14 @@ object ArcCodec {
             warcType = "response",
             targetUri = url,
             date = date,
-            recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(url + "\n" + fields(2)),
+            // the byte offset joins the id input: ARC dates are
+            // second-granular, so two captures of one url inside the same
+            // second would otherwise collide — violating the uniqueness
+            // contract WarcIO.toRecords keeps via millisecond fetchTime.
+            // decodeAuto inflates the whole archive before decoding, so
+            // headerStart is unique per record in plain AND .arc.gz form.
+            recordId = "urn:uuid:" + graft.url.UrlUtil.uuid3(
+              url + "\n" + fields(2) + "\n" + headerStart),
             contentType = fields(3),
             payload = payload)
       }

@@ -74,7 +74,14 @@ object CdxIO {
   }
 
   /** Classic space-separated CDX lines (sorted by (urlkey, timestamp) —
-    * the property CDX consumers binary-search on), written as text. */
+    * the property CDX consumers binary-search on), written as text.
+    *
+    * ENGINE-LOCAL dialect, not pywb/OpenWayback-consumable (r6 ADVICE
+    * note): `urlkey` is the engine's reversed-url key (not SURT — same
+    * sort-locality, different spelling) and `digest` is MD5 hex (not the
+    * CDX ecosystem's SHA1-base32). The offsets/lengths/timestamps ARE the
+    * standard semantics, so a consumer needs only those two field
+    * spellings adapted; within this engine the lines round-trip exactly. */
   def writeCdxText(rows: Dataset[CdxRow], out: String): Unit = {
     import rows.sparkSession.implicits._
     rows.orderBy(col("urlkey"), col("timestamp"))

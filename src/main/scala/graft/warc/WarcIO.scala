@@ -73,7 +73,20 @@ object WarcIO {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       pages.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
+    val dfs = dirPath.getFileSystem(hconf.value)
+    dfs.mkdirs(dirPath)
+    // Overwrite semantics, established ONCE in the driver before any task
+    // starts: the per-task commit below treats an existing destination as
+    // written by a twin of the same job — an assumption that only holds
+    // WITHIN one job. Re-running an export into a non-empty dir would
+    // otherwise silently keep stale part files (including higher part
+    // numbers from a previous larger export) while reporting the new
+    // count. Deleting stale parts (and crashed-attempt tmps) here keeps
+    // the task-level twin protocol race-free and the directory's contents
+    // exactly this job's output.
+    val stale = dfs.globStatus(new org.apache.hadoop.fs.Path(dirPath,
+      "{part-*.warc,part-*.warc.gz,.part-*.tmp}"))
+    if (stale != null) stale.foreach(s => dfs.delete(s.getPath, false))
     pages
       .select(col("url"), col("content"), col("contentType"), col("fetchTime"))
       .as[(String, Array[Byte], String, Long)]

@@ -206,6 +206,12 @@ class JobsSpec extends AnyFunSuite {
     val fronted = LinkDb.frontier(spark, LinkDb.edges(spark, seedEdges),
       existing, conf, 1234L, seen = Some(bank)).collect()
     assert(fronted.map(_.url).toSeq == Seq(fresh))
+    // broadcast gate: when the bloom-positive maybe-set outgrows the
+    // broadcast budget (threshold 0 forces it), the seen path falls back
+    // to the plain shuffled anti-join — identical result at any size
+    val gated = LinkDb.frontier(spark, LinkDb.edges(spark, seedEdges),
+      existing, conf, 1234L, seen = Some(bank), broadcastMaxKeys = 0L).collect()
+    assert(gated.map(_.url).toSeq == Seq(fresh))
     edges.unpersist()
   }
 

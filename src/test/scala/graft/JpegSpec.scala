@@ -169,7 +169,14 @@ class JpegSpec extends AnyFunSuite {
   test("strict on malformed input; auto-detected by the image decode surface") {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(Array[Byte](1, 2, 3)))
     val good = JpegCodec.encodeRgb(gradient(16, 16), 16, 16)
-    intercept[Exception](JpegCodec.decodeRgb(good.take(good.length / 2)))
+    // the documented contract: truncation fails with the "corrupt JPEG"
+    // IllegalArgumentException, never a raw ArrayIndexOutOfBounds (r6
+    // ADVICE fix) — at EVERY truncation point, not just the midpoint
+    for (cut <- Seq(3, 6, good.length / 4, good.length / 2, good.length - 1)) {
+      val e = intercept[IllegalArgumentException](
+        JpegCodec.decodeRgb(good.take(cut)))
+      assert(e.getMessage.startsWith("corrupt JPEG"), s"cut=$cut: $e")
+    }
     // ImageSynth routes JPEG payloads to the from-scratch decoder
     val (dec, w, h) = ImageSynth.decodeRgb(good)
     assert((w, h) == ((16, 16)) && dec.length == 16 * 16 * 3)

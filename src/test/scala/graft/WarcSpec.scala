@@ -134,6 +134,17 @@ class WarcSpec extends AnyFunSuite {
       .toDF("url", "content", "contentType", "fetchTime")
     val dir2 = java.nio.file.Files.createTempDirectory("graft-warc2").toString
     assert(WarcIO.write(withNulls, dir2) == 1)
+    // re-export into a NON-empty dir replaces the previous export (r6
+    // ADVICE fix): stale parts — including higher part numbers from a
+    // previous larger export — are cleared driver-side before any task
+    // runs, so the dir holds exactly the new job's output
+    val fewer = Seq(("http://re/1", "re-1".getBytes("UTF-8"), "text/plain", 5L),
+        ("http://re/2", "re-2".getBytes("UTF-8"), "text/plain", 6L))
+      .toDF("url", "content", "contentType", "fetchTime").repartition(1)
+    assert(WarcIO.write(fewer, dir) == 2)
+    val reread = WarcIO.read(spark, dir)
+    assert(reread.count() == 2, "stale parts from the first export must be gone")
+    assert(reread.collect().map(_.url).sorted.toSeq == Seq("http://re/1", "http://re/2"))
   }
 
   test("ArcCodec: legacy ARC archives (plain + per-record gzip) decode to " +
@@ -153,16 +164,23 @@ class WarcSpec extends AnyFunSuite {
       "<html>alpha</html>")
     val r2 = rec("http://b.example.com/y", "20230102030406", "text/plain",
       "bravo body", v2 = true)
-    val plain = version ++ r1 ++ r2
+    // same url captured twice within ONE second: ARC dates are
+    // second-granular, so the record id must mix in the byte offset to
+    // keep WARC's global-uniqueness contract (r6 ADVICE fix)
+    val r3 = rec("http://a.example.com/x", "20230102030405", "text/html",
+      "<html>alpha-recrawl</html>")
+    val plain = version ++ r1 ++ r2 ++ r3
     val recs = graft.warc.ArcCodec.decode(plain)
-    assert(recs.map(_.targetUri) == Seq("http://a.example.com/x", "http://b.example.com/y"),
+    assert(recs.map(_.targetUri) == Seq("http://a.example.com/x",
+      "http://b.example.com/y", "http://a.example.com/x"),
       "version block must be skipped, both header arities parsed")
     assert(recs.head.date == "2023-01-02T03:04:05Z")
     assert(recs.head.warcType == "response")
     assert(recs.head.contentType == "text/html")
     assert(new String(recs.head.payload, UTF_8) == "<html>alpha</html>")
     assert(new String(recs(1).payload, UTF_8) == "bravo body")
-    assert(recs.map(_.recordId).distinct.size == 2)
+    assert(recs.map(_.recordId).distinct.size == 3,
+      "two same-second captures of one url must not share a record id")
     // the common IA form: each record its own gzip member, concatenated
     def gz(b: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
@@ -170,9 +188,12 @@ class WarcSpec extends AnyFunSuite {
       g.write(b); g.finish(); g.close()
       out.toByteArray
     }
-    val gzBytes = gz(version) ++ gz(r1) ++ gz(r2)
+    val gzBytes = gz(version) ++ gz(r1) ++ gz(r2) ++ gz(r3)
     val recsGz = graft.warc.ArcCodec.decodeAuto(gzBytes)
     assert(recsGz.map(_.targetUri) == recs.map(_.targetUri))
+    // member-wise inflate reproduces the plain byte stream, so the
+    // offset-mixed ids are identical across the two container forms
+    assert(recsGz.map(_.recordId) == recs.map(_.recordId))
     assert(recsGz.zip(recs).forall { case (a, b) => a.payload.sameElements(b.payload) })
     // strictness: a length past the buffer end fails with the offset
     val corrupt = "http://c/ 1.2.3.4 20230101000000 text/plain 99999\nshort".getBytes(UTF_8)
@@ -184,7 +205,7 @@ class WarcSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-1.arc.gz"),
       gz(rec("http://d.example.com/z", "20230103000000", "image/png", "PNGish")))
     val rows = graft.warc.WarcIO.readArc(spark, dir)
-    assert(rows.count() == 3)
+    assert(rows.count() == 4)
     val pages = graft.warc.WarcIO.toPages(rows).collect()
     assert(pages.map(_.url).sorted.toSeq == Seq("http://a.example.com/x",
       "http://b.example.com/y", "http://d.example.com/z"))
